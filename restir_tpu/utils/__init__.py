@@ -1,0 +1,1 @@
+from . import math, rng  # noqa: F401

@@ -1,0 +1,15 @@
+"""Test harness config: force CPU with 8 virtual devices.
+
+Must run before jax is imported anywhere, hence the env mutation at
+module import time (pytest imports conftest before test modules).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,83 @@
+"""Frozen render configuration (jit-static).
+
+Replaces the reference's three config tiers — compile-time #defines
+(common.h:4-16), scene-file camera block, and the mutable Settings
+blackboard (common.h:47-61) — with one hashable dataclass whose fields
+are static under jit. Changing a field produces a new compiled variant,
+which is exactly the reference's #define semantics without rebuilds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+class ReuseMode:
+    """Reservoir reuse bitmask — common.h:36-43."""
+
+    NONE = 0b00
+    TEMPORAL = 0b01
+    SPATIAL = 0b10
+    SPATIOTEMPORAL = 0b11
+
+
+class ToneMapping:
+    NONE = 0
+    FILMIC = 1
+    ACES = 2
+
+
+class DenoiserType:
+    NONE = 0
+    EAW = 1
+    SVGF = 2
+
+
+class TracerType:
+    """Which per-frame integrator drives the image — common.h:24-28."""
+
+    RESTIR_DI = 0
+    PT_DIRECT = 1
+    PT_FULL = 2
+    RESTIR_GI = 3
+    BVH_VISUALIZE = 4
+    GBUFFER_PREVIEW = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 800
+    height: int = 800
+    tracer: int = TracerType.RESTIR_DI
+    trace_depth: int = 5  # Settings::traceDepth
+    tone_mapping: int = ToneMapping.ACES
+
+    # ReSTIR DI — restir.cu:3, 183, 93, 49
+    reuse: int = ReuseMode.SPATIOTEMPORAL
+    ris_candidates: int = 32
+    temporal_clamp: int = 20
+    spatial_neighbors: int = 5
+    spatial_radius: float = 5.0
+
+    # denoiser
+    denoiser: int = DenoiserType.NONE
+    eaw_levels: int = 5
+    sig_depth: float = 64.0  # denoiser.cu:455 (EAW) / 488 (SVGF: 4)
+    sig_normal: float = 0.2
+    sig_luminance: float = 1.0
+    modulate_albedo: bool = True
+
+    # scene static capability flags
+    has_env_map: bool = False
+    with_textures: bool = False
+    single_sided_lights: bool = True  # SCENE_LIGHT_SINGLE_SIDED
+
+    # frame behavior
+    accumulate: bool = True
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -105,8 +105,13 @@ def _traversal_setup(trv: TraversalArrays, d):
     return base
 
 
-def intersect_closest(trv: TraversalArrays, o, d) -> Hit:
-    """Closest-hit over all rays — scene.h:245-284 in lockstep form."""
+def intersect_closest(trv: TraversalArrays, o, d, active=None) -> Hit:
+    """Closest-hit over all rays — scene.h:245-284 in lockstep form.
+
+    `active`: optional bool[R]; inactive rays skip traversal entirely
+    (their cursor starts parked at `size`), which is how masked-out
+    wavefront lanes stay free on TPU.
+    """
     R = o.shape[0]
     size = trv.size
     base = _traversal_setup(trv, d)
@@ -143,8 +148,11 @@ def intersect_closest(trv: TraversalArrays, o, d) -> Hit:
         node = jnp.where(active, jnp.where(descend, node + 1, miss), node)
         return node, best_dist, best_prim, best_bary
 
+    start = jnp.zeros((R,), jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, size)
     init = (
-        jnp.zeros((R,), jnp.int32),
+        start,
         jnp.full((R,), jnp.inf, jnp.float32),
         jnp.full((R,), NULL_PRIMITIVE, jnp.int32),
         jnp.zeros((R, 2), jnp.float32),
@@ -153,9 +161,9 @@ def intersect_closest(trv: TraversalArrays, o, d) -> Hit:
     return Hit(prim_id=prim, dist=dist, bary=bary)
 
 
-def test_occlusion(trv: TraversalArrays, x, y) -> jnp.ndarray:
+def test_occlusion(trv: TraversalArrays, x, y, active=None) -> jnp.ndarray:
     """Any-hit between points x and y — scene.h:286-316. Returns bool[R]
-    (True = occluded)."""
+    (True = occluded). Inactive rays return False without traversing."""
     seg = y - x
     dist = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
     d = seg / jnp.maximum(dist, 1e-20)[..., None]
@@ -196,7 +204,10 @@ def test_occlusion(trv: TraversalArrays, x, y) -> jnp.ndarray:
         )
         return node, occluded
 
-    init = (jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool))
+    start = jnp.zeros((R,), jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, size)
+    init = (start, jnp.zeros((R,), bool))
     _, occluded = jax.lax.while_loop(cond, body, init)
     return occluded
 

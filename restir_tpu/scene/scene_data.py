@@ -1,0 +1,317 @@
+"""Frozen SoA scene pytree and its host-side build pipeline.
+
+TPU analogue of the reference's DevScene upload
+(/root/reference/src/scene.cpp:159-215, 435-509): instances are
+pre-transformed to a world-space triangle soup, emissive triangles become
+the light list with power = luminance * 2pi * area, alias tables are
+built for light / env-map selection, the SAH/MTBVH is built, and
+everything lands in one immutable NamedTuple of jnp arrays — device_put
+once, traced by every pass thereafter.
+
+Deliberate correction vs the reference: the reference's NEE pdf algebra
+is internally inconsistent (scene.cpp:164 builds selection power as
+luminance*2pi*area, but scene.h:423 divides by area*2pi and
+pathtrace.cu:257-259 multiplies by area). We use the self-consistent
+value everywhere: given selection probability power_i/sum_power and
+uniform area sampling, pdf_area = luminance*2pi/sum_power, converted to
+solid angle at the sample point. The env-map pdf follows scene.h:373
+(which IS consistent with its alias-table density — the sin(theta)
+terms cancel): pdf_sa = luminance * W * H / (2 pi^2 * sum_power).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import math as mathx
+from .alias_table import build_alias_table
+from .bvh import build_bvh
+
+# material types — material.h:114-120 order
+LAMBERTIAN = 0
+METALLIC_WORKFLOW = 1
+DIELECTRIC = 2
+DISNEY = 3
+LIGHT = 4
+
+NULL_TEXTURE = -1
+PROCEDURAL_TEXTURE = -2
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclasses.dataclass
+class MaterialDesc:
+    """Host-side material description (scene-file level)."""
+
+    type: int = LAMBERTIAN
+    base_color: tuple = (0.9, 0.9, 0.9)
+    metallic: float = 0.0
+    roughness: float = 1.0
+    ior: float = 1.5
+    base_map: int = NULL_TEXTURE
+    metallic_map: int = NULL_TEXTURE
+    roughness_map: int = NULL_TEXTURE
+    normal_map: int = NULL_TEXTURE
+
+
+@dataclasses.dataclass
+class MeshInstance:
+    """World-space-ready instance: raw mesh + transform + material link."""
+
+    vertices: np.ndarray  # [3n, 3] object space
+    normals: np.ndarray  # [3n, 3]
+    uvs: np.ndarray  # [3n, 2]
+    material_id: int = 0
+    translation: tuple = (0.0, 0.0, 0.0)
+    rotation: tuple = (0.0, 0.0, 0.0)  # degrees, XYZ order (mathUtil.cpp:13)
+    scale: tuple = (1.0, 1.0, 1.0)
+
+
+class SceneData(NamedTuple):
+    """The frozen device scene. All leaves are jnp arrays."""
+
+    # geometry (world space), [N] primitives
+    verts: jnp.ndarray  # [N, 3, 3]
+    norms: jnp.ndarray  # [N, 3, 3]
+    uvs: jnp.ndarray  # [N, 3, 2]
+    mat_ids: jnp.ndarray  # [N] int32
+    # acceleration structure, B = 2N-1
+    bounds_lo: jnp.ndarray  # [B, 3]
+    bounds_hi: jnp.ndarray  # [B, 3]
+    bvh_prim: jnp.ndarray  # [6B] int32
+    bvh_box: jnp.ndarray  # [6B] int32
+    bvh_miss: jnp.ndarray  # [6B] int32
+    # materials, [M]
+    mat_type: jnp.ndarray  # [M] int32
+    mat_base_color: jnp.ndarray  # [M, 3]
+    mat_metallic: jnp.ndarray  # [M]
+    mat_roughness: jnp.ndarray  # [M]
+    mat_ior: jnp.ndarray  # [M]
+    mat_base_map: jnp.ndarray  # [M] int32
+    mat_metallic_map: jnp.ndarray  # [M] int32
+    mat_roughness_map: jnp.ndarray  # [M] int32
+    mat_normal_map: jnp.ndarray  # [M] int32
+    # lights, [L] emissive prims; alias table over [L (+1 env)] entries
+    light_prim_ids: jnp.ndarray  # [L] int32
+    light_radiance: jnp.ndarray  # [L, 3]
+    light_prob: jnp.ndarray  # [Ls]
+    light_alias: jnp.ndarray  # [Ls] int32
+    sum_light_power_inv: jnp.ndarray  # scalar
+    # environment map ([1,1,3] zeros when absent; gate with config flag)
+    env_map: jnp.ndarray  # [Eh, Ew, 3]
+    env_prob: jnp.ndarray  # [Eh*Ew]
+    env_alias: jnp.ndarray  # [Eh*Ew] int32
+    # packed textures ([1,3] dummy when absent)
+    tex_data: jnp.ndarray  # [K, 3]
+    tex_offset: jnp.ndarray  # [T] int32
+    tex_width: jnp.ndarray  # [T] int32
+    tex_height: jnp.ndarray  # [T] int32
+
+
+def num_prims(scene: SceneData) -> int:
+    return scene.verts.shape[0]
+
+
+def bvh_size(scene: SceneData) -> int:
+    return scene.bounds_lo.shape[0]
+
+
+def num_light_entries(scene: SceneData) -> int:
+    """Alias-table length: lights (+1 if env map present)."""
+    return scene.light_prob.shape[0]
+
+
+def has_env_map(scene: SceneData) -> bool:
+    return scene.env_map.shape[0] > 1 or scene.env_map.shape[1] > 1
+
+
+def traversal_arrays(scene: SceneData):
+    from ..ops.intersect import TraversalArrays
+
+    return TraversalArrays(
+        verts=scene.verts,
+        bounds_lo=scene.bounds_lo,
+        bounds_hi=scene.bounds_hi,
+        prim_flat=scene.bvh_prim,
+        box_flat=scene.bvh_box,
+        miss_flat=scene.bvh_miss,
+        size=scene.bounds_lo.shape[0],
+    )
+
+
+def build_transformation_matrix(translation, rotation_deg, scale) -> np.ndarray:
+    """T * Rx * Ry * Rz * S, same composition as mathUtil.cpp:13-20."""
+
+    def rot(axis, deg):
+        c, s = np.cos(np.deg2rad(deg)), np.sin(np.deg2rad(deg))
+        m = np.eye(4)
+        i, j = [(1, 2), (0, 2), (0, 1)][axis]
+        m[i, i] = c
+        m[j, j] = c
+        if axis == 1:
+            m[i, j] = s
+            m[j, i] = -s
+        else:
+            m[i, j] = -s
+            m[j, i] = s
+        return m
+
+    t = np.eye(4)
+    t[:3, 3] = translation
+    s = np.diag([*scale, 1.0])
+    return t @ rot(0, rotation_deg[0]) @ rot(1, rotation_deg[1]) @ rot(2, rotation_deg[2]) @ s
+
+
+def _luminance_np(c):
+    return c[..., 0] * 0.2126 + c[..., 1] * 0.7152 + c[..., 2] * 0.0722
+
+
+def build_scene(
+    instances: Sequence[MeshInstance],
+    materials: Sequence[MaterialDesc],
+    env_map: Optional[np.ndarray] = None,
+    textures: Optional[Sequence[np.ndarray]] = None,
+    bvh_impl: str = "auto",
+) -> SceneData:
+    """Flatten instances to world space and build the frozen scene pytree.
+
+    Mirrors Scene::buildDevData (scene.cpp:159-215).
+    """
+    all_v, all_n, all_uv, all_mid = [], [], [], []
+    light_prim_ids, light_radiance, light_power = [], [], []
+    prim_base = 0
+
+    for inst in instances:
+        m = build_transformation_matrix(inst.translation, inst.rotation, inst.scale)
+        normal_mat = np.linalg.inv(m[:3, :3]).T
+
+        v = np.asarray(inst.vertices, np.float32).reshape(-1, 3)
+        n = np.asarray(inst.normals, np.float32).reshape(-1, 3)
+        uv = np.asarray(inst.uvs, np.float32).reshape(-1, 2)
+        assert v.shape[0] % 3 == 0 and v.shape == n.shape
+
+        wv = v @ m[:3, :3].T + m[:3, 3]
+        wn = n @ normal_mat.T
+        wn /= np.maximum(np.linalg.norm(wn, axis=-1, keepdims=True), 1e-20)
+
+        n_prims = v.shape[0] // 3
+        all_v.append(wv.astype(np.float32))
+        all_n.append(wn.astype(np.float32))
+        all_uv.append(uv.astype(np.float32))
+        all_mid.append(np.full(n_prims, inst.material_id, np.int32))
+
+        mat = materials[inst.material_id]
+        if mat.type == LIGHT:
+            tri = wv.reshape(-1, 3, 3)
+            e1 = tri[:, 1] - tri[:, 0]
+            e2 = tri[:, 2] - tri[:, 0]
+            area = np.linalg.norm(np.cross(e1, e2), axis=-1) * 0.5
+            radiance = np.asarray(mat.base_color, np.float32)
+            power = _luminance_np(radiance) * TWO_PI * area
+            for i in range(n_prims):
+                light_prim_ids.append(prim_base + i)
+                light_radiance.append(radiance)
+                light_power.append(power[i])
+        prim_base += n_prims
+
+    verts = np.concatenate(all_v).reshape(-1, 3, 3)
+    norms = np.concatenate(all_n).reshape(-1, 3, 3)
+    uvs = np.concatenate(all_uv).reshape(-1, 3, 2)
+    mat_ids = np.concatenate(all_mid)
+    if verts.shape[0] == 0:
+        raise ValueError("scene has no primitives")
+
+    # --- light + env alias tables (createLightSampler, scene.cpp:136-157)
+    powers = list(light_power)
+    if env_map is not None:
+        env = np.asarray(env_map, np.float32)
+        eh, ew = env.shape[0], env.shape[1]
+        row = (np.arange(eh, dtype=np.float32) + 0.5) / eh
+        sin_theta = np.sin(row * np.pi)
+        env_pdf = _luminance_np(env) * sin_theta[:, None]
+        env_table = build_alias_table(env_pdf.reshape(-1))
+        powers.append(env_table.sum_all)
+    else:
+        env = np.zeros((1, 1, 3), np.float32)
+        env_table = build_alias_table(np.ones(1))
+
+    if powers:
+        light_table = build_alias_table(np.asarray(powers))
+        sum_power_inv = 1.0 / light_table.sum_all
+    else:
+        light_table = build_alias_table(np.ones(1))
+        sum_power_inv = 0.0  # no lights: pdf guard handles this
+
+    # --- acceleration structure
+    bvh = build_bvh(verts.reshape(-1, 3), impl=bvh_impl)
+
+    # --- materials SoA
+    mat_arr = lambda f, dt: jnp.asarray(  # noqa: E731
+        np.asarray([f(m) for m in materials], dt)
+    )
+
+    # --- packed textures
+    if textures:
+        offsets, widths, heights, datas = [], [], [], []
+        off = 0
+        for t in textures:
+            t = np.asarray(t, np.float32)  # [h, w, 3]
+            offsets.append(off)
+            widths.append(t.shape[1])
+            heights.append(t.shape[0])
+            datas.append(t.reshape(-1, 3))
+            off += t.shape[0] * t.shape[1]
+        tex_data = np.concatenate(datas)
+        tex_offset = np.asarray(offsets, np.int32)
+        tex_width = np.asarray(widths, np.int32)
+        tex_height = np.asarray(heights, np.int32)
+    else:
+        tex_data = np.zeros((1, 3), np.float32)
+        tex_offset = np.zeros(1, np.int32)
+        tex_width = np.ones(1, np.int32)
+        tex_height = np.ones(1, np.int32)
+
+    if light_prim_ids:
+        lp = np.asarray(light_prim_ids, np.int32)
+        lr = np.asarray(light_radiance, np.float32)
+    else:
+        lp = np.zeros(1, np.int32)
+        lr = np.zeros((1, 3), np.float32)
+
+    return SceneData(
+        verts=jnp.asarray(verts),
+        norms=jnp.asarray(norms),
+        uvs=jnp.asarray(uvs),
+        mat_ids=jnp.asarray(mat_ids),
+        bounds_lo=jnp.asarray(bvh.bounds_lo),
+        bounds_hi=jnp.asarray(bvh.bounds_hi),
+        bvh_prim=jnp.asarray(bvh.prim_id.reshape(-1)),
+        bvh_box=jnp.asarray(bvh.box_id.reshape(-1)),
+        bvh_miss=jnp.asarray(bvh.miss.reshape(-1)),
+        mat_type=mat_arr(lambda m: m.type, np.int32),
+        mat_base_color=mat_arr(lambda m: m.base_color, np.float32),
+        mat_metallic=mat_arr(lambda m: m.metallic, np.float32),
+        mat_roughness=mat_arr(lambda m: m.roughness, np.float32),
+        mat_ior=mat_arr(lambda m: m.ior, np.float32),
+        mat_base_map=mat_arr(lambda m: m.base_map, np.int32),
+        mat_metallic_map=mat_arr(lambda m: m.metallic_map, np.int32),
+        mat_roughness_map=mat_arr(lambda m: m.roughness_map, np.int32),
+        mat_normal_map=mat_arr(lambda m: m.normal_map, np.int32),
+        light_prim_ids=jnp.asarray(lp),
+        light_radiance=jnp.asarray(lr),
+        light_prob=light_table.prob,
+        light_alias=light_table.fail_id,
+        sum_light_power_inv=jnp.float32(sum_power_inv),
+        env_map=jnp.asarray(env),
+        env_prob=env_table.prob,
+        env_alias=env_table.fail_id,
+        tex_data=jnp.asarray(tex_data),
+        tex_offset=jnp.asarray(tex_offset),
+        tex_width=jnp.asarray(tex_width),
+        tex_height=jnp.asarray(tex_height),
+    )

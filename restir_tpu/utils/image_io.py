@@ -1,0 +1,114 @@
+"""Minimal dependency-free image IO: PNG (zlib) write/read, PFM write.
+
+Replaces the reference's stb_image_write usage (image.cpp:41-82). The
+horizontal mirror at save time matches saveImage (main.cpp:127) so our
+raster convention (ruv = 1 - 2*uv) produces upright, un-mirrored files.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def write_png(path: str, rgb_u8: np.ndarray) -> None:
+    """rgb_u8: [H, W, 3] uint8."""
+    img = np.asarray(rgb_u8)
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
+    out = b"\x89PNG\r\n\x1a\n"
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += _png_chunk(b"IDAT", zlib.compress(raw, 6))
+    out += _png_chunk(b"IEND", b"")
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader for our own files (8-bit RGB, no interlace)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    idat = b""
+    w = h = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", chunk[:10])
+            assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += chunk
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    img = np.empty((h, w, 3), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    p = 0
+    for row in range(h):
+        ftype = raw[p]
+        line = np.frombuffer(raw[p + 1 : p + 1 + stride], np.uint8).copy()
+        p += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:  # average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for i in range(stride):
+                a = int(line[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported filter {ftype}")
+        img[row] = line.reshape(w, 3)
+        prev = line
+    return img
+
+
+def write_pfm(path: str, rgb_f32: np.ndarray) -> None:
+    """Radiance float image (PFM, little-endian)."""
+    img = np.asarray(rgb_f32, np.float32)
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"PF\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(img[::-1].tobytes())  # PFM stores bottom-up
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"PF"
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4")
+    return data.reshape(h, w, 3)[::-1].copy()
+
+
+def mirror_for_save(img: np.ndarray) -> np.ndarray:
+    """Horizontal mirror matching saveImage (main.cpp:127)."""
+    return img[:, ::-1]

@@ -1,0 +1,177 @@
+"""Headless CLI app — the TPU equivalent of the reference's frame loop +
+image writer (main.cpp:55-216), minus the GL window: renders N frames,
+reports fps / Mrays/s, writes PNG output, optionally checkpoints the
+full renderer state (which the reference cannot do at all).
+
+Usage:
+    python -m restir_tpu SCENE_FILE [options]
+    python -m restir_tpu --builtin cornell [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="restir_tpu", description=__doc__)
+    p.add_argument("scene", nargs="?", help="scene text file (reference format)")
+    p.add_argument("--builtin", choices=["cornell", "cornell_metal", "many_light"],
+                   help="use a built-in procedural scene")
+    p.add_argument("--tracer", default="restir_di",
+                   choices=["restir_di", "pt_direct", "pt_full", "restir_gi",
+                            "bvh", "gbuffer"])
+    p.add_argument("--reuse", default="spatiotemporal",
+                   choices=["none", "temporal", "spatial", "spatiotemporal"])
+    p.add_argument("--denoiser", default="none", choices=["none", "eaw", "svgf"])
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--depth", type=int, default=None, help="trace depth")
+    p.add_argument("--no-accumulate", action="store_true")
+    p.add_argument("--animate-radius", type=float, default=0.0,
+                   help="circular camera animation radius (main.cpp:149-153)")
+    p.add_argument("--animate-speed", type=float, default=1.0)
+    p.add_argument("--tonemap", default="aces", choices=["none", "filmic", "aces"])
+    p.add_argument("-o", "--output", default=None, help="output PNG path")
+    p.add_argument("--save-state", default=None, help="checkpoint path (.npz)")
+    p.add_argument("--load-state", default=None, help="resume from checkpoint")
+    p.add_argument("--stats-json", action="store_true",
+                   help="print a machine-readable stats line")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from .config import DenoiserType, RenderConfig, ReuseMode, ToneMapping, TracerType
+    from .ops import camera as cam_ops
+    from . import renderer
+    from .utils.image_io import mirror_for_save, write_png
+
+    tracer = {
+        "restir_di": TracerType.RESTIR_DI, "pt_direct": TracerType.PT_DIRECT,
+        "pt_full": TracerType.PT_FULL, "restir_gi": TracerType.RESTIR_GI,
+        "bvh": TracerType.BVH_VISUALIZE, "gbuffer": TracerType.GBUFFER_PREVIEW,
+    }[args.tracer]
+    reuse = {
+        "none": ReuseMode.NONE, "temporal": ReuseMode.TEMPORAL,
+        "spatial": ReuseMode.SPATIAL, "spatiotemporal": ReuseMode.SPATIOTEMPORAL,
+    }[args.reuse]
+    denoiser = {"none": DenoiserType.NONE, "eaw": DenoiserType.EAW,
+                "svgf": DenoiserType.SVGF}[args.denoiser]
+    tonemap = {"none": ToneMapping.NONE, "filmic": ToneMapping.FILMIC,
+               "aces": ToneMapping.ACES}[args.tonemap]
+
+    # ---- scene
+    trace_depth = 5
+    image_name = "render"
+    if args.scene:
+        from .scene.loader import parse_scene_file
+
+        sf = parse_scene_file(args.scene)
+        scene = sf.build()
+        cam = sf.make_camera()
+        width, height = sf.resolution
+        trace_depth = sf.trace_depth
+        image_name = sf.image_name
+        has_env = sf.env_map is not None
+        with_textures = len(sf.textures) > 0
+    elif args.builtin:
+        from .scene import procedural
+
+        if args.builtin == "cornell":
+            scene, camkw = procedural.cornell_box()
+        elif args.builtin == "cornell_metal":
+            scene, camkw = procedural.cornell_box(
+                block_materials=("metal", "glass")
+            )
+        else:
+            scene, camkw = procedural.many_light_scene()
+        cam = cam_ops.make_camera(**camkw)
+        width, height = 800, 800
+        has_env = False
+        with_textures = False
+    else:
+        build_argparser().error("need a scene file or --builtin")
+
+    cfg = RenderConfig(
+        width=args.width or width,
+        height=args.height or height,
+        tracer=tracer,
+        trace_depth=args.depth or trace_depth,
+        reuse=reuse,
+        denoiser=denoiser,
+        tone_mapping=tonemap,
+        accumulate=not args.no_accumulate,
+        has_env_map=has_env,
+        with_textures=with_textures,
+    )
+
+    state = renderer.init_state(cfg, cam)
+    if args.load_state:
+        state = renderer.load_checkpoint(args.load_state, cfg, cam)
+
+    base_pos = np.asarray(cam.position)
+
+    def camera_at(i):
+        if args.animate_radius <= 0:
+            return cam
+        t = i * args.animate_speed * 0.1
+        pos = cam_ops.animate_position(base_pos, np.float32(t), args.animate_radius)
+        return cam_ops.update_camera(cam, position=pos)
+
+    # warmup/compile frame
+    t_compile = time.perf_counter()
+    state, frame = renderer.step_jit(scene, state, camera_at(0), cfg)
+    frame.block_until_ready()
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for f in range(1, args.frames):
+        c = camera_at(f)
+        if args.animate_radius > 0:
+            # camera moved: restart the running average (main.cpp:158-162)
+            state = renderer.reset_iteration(state)
+        state, frame = renderer.step_jit(scene, state, c, cfg)
+    frame.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = max(args.frames - 1, 1) / max(dt, 1e-9)
+
+    # >= 3 traversals per pixel per ReSTIR frame (primary + shadow winner
+    # + temporal/spatial are gathers); report primary+shadow rays
+    rays_per_frame = cfg.num_pixels * (2 if tracer == 0 else 1)
+    mrays = rays_per_frame * fps / 1e6
+
+    out = args.output or f"{image_name}.png"
+    img = np.asarray(renderer.frame_to_image_jit(frame, cfg))
+    write_png(out, mirror_for_save(img))
+
+    if args.save_state:
+        renderer.save_checkpoint(args.save_state, state)
+
+    stats = {
+        "fps": round(fps, 3),
+        "mrays_per_s": round(mrays, 3),
+        "compile_s": round(compile_s, 3),
+        "frames": args.frames,
+        "resolution": [cfg.width, cfg.height],
+        "output": out,
+    }
+    if args.stats_json:
+        print(json.dumps(stats))
+    else:
+        print(
+            f"[{cfg.width}x{cfg.height} {args.tracer}] {args.frames} frames: "
+            f"{fps:.2f} fps ({mrays:.1f} Mrays/s primary+shadow), "
+            f"compile {compile_s:.1f}s -> {out}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

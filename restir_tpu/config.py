@@ -62,9 +62,11 @@ class RenderConfig:
     # denoiser
     denoiser: int = DenoiserType.NONE
     eaw_levels: int = 5
-    sig_depth: float = 64.0  # denoiser.cu:455 (EAW) / 488 (SVGF: 4)
+    sig_depth: float = 64.0  # EAW sigmas — denoiser.cu:455
     sig_normal: float = 0.2
     sig_luminance: float = 1.0
+    svgf_sig_depth: float = 4.0  # SVGF sigmas — denoiser.cu:488
+    svgf_sig_normal: float = 128.0
     modulate_albedo: bool = True
 
     # scene static capability flags
@@ -74,6 +76,11 @@ class RenderConfig:
 
     # frame behavior
     accumulate: bool = True
+    # Sub-pixel AA jitter on the (shared) primary ray. The reference
+    # jitters inside the integrators but traces the G-buffer at pixel
+    # centers (gbuffer.cu:15 vs restir.cu:129); we trace the primary ray
+    # once and share it, so this flag governs both consistently.
+    aa_jitter: bool = True
 
     @property
     def num_pixels(self) -> int:

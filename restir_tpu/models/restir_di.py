@@ -1,0 +1,219 @@
+"""ReSTIR DI: reservoir-based spatiotemporal importance resampling of
+direct illumination (Bitterli et al. 2020).
+
+TPU-native re-design of /root/reference/src/restir.cu:111-231
+(`ReSTIRDirectKernel`). The one-megakernel-per-pixel SIMT structure
+becomes a sequence of whole-frame array ops:
+
+  1. RIS: a `lax.fori_loop` of K=32 vectorized candidate draws (NEE
+     without visibility) streamed into a per-pixel reservoir
+     (restir.cu:156-169);
+  2. one visibility (any-hit) pass for each pixel's winner; occluded
+     lanes get weight := 0, NOT a reset (restir.cu:172-176);
+  3. temporal reuse: gather last frame's post-temporal reservoir at the
+     motion index, geometric similarity rejection, preClampedMerge<20>
+     (restir.cu:180-185, findTemporalNeighbor :21-45);
+  4. spatial reuse: the reference's block-local `__syncthreads` hack
+     (restir.cu:194 — an acknowledged race at block borders) becomes a
+     clean pass boundary: the post-temporal reservoir buffer is written,
+     then 5 concentric-disk neighbor gathers merge from it
+     (restir.cu:48-100,190-210) — grid-correct by construction;
+  5. shading: Li*f / luminance(Li*f) * W / M, NaN-guarded, demodulated
+     by G-buffer albedo (restir.cu:216-230).
+
+The buffer fed to the NEXT frame's temporal pass is the post-temporal,
+pre-spatial reservoir, exactly like the reference (restir.cu:188,211-212).
+
+Deviation (documented): the reference multiplies miss pixels by the env
+radiance twice (restir.cu:135 sets direct=env, :229 multiplies by the
+G-buffer albedo which is also env). We store the demodulated value 1 for
+miss pixels so the modulated output is env radiance once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig, ReuseMode
+from ..ops import bsdf as bsdf_ops
+from ..ops import intersect as ix
+from ..ops import lights as light_ops
+from ..ops import reservoir as rsv
+from ..scene.scene_data import DIELECTRIC, SceneData, traversal_arrays
+from ..utils import math as mathx
+from ..utils import rng as rngmod
+from .gbuffer import LIGHT_ID, NULL_PRIMITIVE, GBufferFrame
+
+# rng counter layout within SALT_RESTIR (one uniform4 per slot):
+_CTR_TEMPORAL = 0
+_CTR_SPATIAL = 1  # .. 1+5 slots (disk xy + merge r per neighbor)
+_CTR_RIS = 8  # .. 8 + 2*K slots
+
+
+def _p_hat_direct(sample: rsv.DirectSample, mat, norm, wo):
+    """Target function p̂ = Li * f * cosθ — restir.cu:102-105. `mat` is
+    already demodulated (baseColor = 1)."""
+    f = bsdf_ops.eval_bsdf(mat, norm, wo, sample.wi)
+    return sample.li * f * mathx.sat_dot(norm, sample.wi)[..., None]
+
+
+def find_temporal_neighbor(
+    res_in: rsv.Reservoir, gb: GBufferFrame, last_gb: GBufferFrame
+) -> Tuple[rsv.Reservoir, jnp.ndarray]:
+    """Gather last frame's reservoir at the motion index with geometric
+    rejection — findTemporalNeighbor (restir.cu:21-45).
+
+    Returns (neighbor reservoir, ok mask); rejected lanes must be
+    treated as an empty reservoir by the caller.
+    """
+    last_idx = gb.motion
+    safe_idx = jnp.maximum(last_idx, 0)
+    ok = (last_idx >= 0) & (gb.prim_id > NULL_PRIMITIVE)
+    same_prim = last_gb.prim_id[safe_idx] == gb.prim_id
+    norm_ok = (
+        mathx.abs_dot(gb.norm, last_gb.norm[safe_idx]) >= 0.9
+    )
+    depth = gb.depth
+    pdepth = last_gb.depth[safe_idx]
+    depth_ok = jnp.abs(pdepth - depth) <= depth * 0.1
+    ok = ok & same_prim & norm_ok & depth_ok
+    return rsv.gather(res_in, safe_idx), ok
+
+
+def _find_spatial_neighbor_disk(
+    res_buf: rsv.Reservoir, gb: GBufferFrame, cfg: RenderConfig, rx, ry
+) -> Tuple[rsv.Reservoir, jnp.ndarray]:
+    """One concentric-disk neighbor lookup with similarity rejection —
+    findSpatialNeighborDisk (restir.cu:48-85)."""
+    w, h = cfg.width, cfg.height
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    x = pix % w
+    y = pix // w
+
+    p = mathx.to_concentric_disk(rx, ry) * cfg.spatial_radius
+    # int cast truncates toward zero like C (restir.cu:54-55)
+    px = (x.astype(jnp.float32) + 0.5 + p[..., 0]).astype(jnp.int32)
+    py = (y.astype(jnp.float32) + 0.5 + p[..., 1]).astype(jnp.int32)
+    pidx = py * w + px
+    safe = jnp.clip(pidx, 0, w * h - 1)
+
+    ok = (px >= 0) & (px < w) & (py >= 0) & (py < h) & ~((px == x) & (py == y))
+    ok = ok & (gb.prim_id[safe] == gb.prim_id)
+    ok = ok & (mathx.dot(gb.norm, gb.norm[safe]) >= 0.9)
+    depth = gb.depth
+    ok = ok & (jnp.abs(depth - gb.depth[safe]) <= depth * 0.1)
+    return rsv.gather(res_buf, safe), ok
+
+
+def _merge_spatial_neighbors(
+    res_buf: rsv.Reservoir, gb: GBufferFrame, cfg: RenderConfig, pix, looper
+) -> rsv.Reservoir:
+    """Aggregate up to `spatial_neighbors` disk neighbors into a fresh
+    reservoir — mergeSpatialNeighborDirect (restir.cu:87-100)."""
+    agg = rsv.zeros_direct(cfg.num_pixels)
+    for i in range(cfg.spatial_neighbors):
+        r1, r2, r3, _ = rngmod.uniform4(
+            pix, looper, _CTR_SPATIAL + i, rngmod.SALT_RESTIR
+        )
+        neighbor, ok = _find_spatial_neighbor_disk(res_buf, gb, cfg, r1, r2)
+        ok = ok & ~rsv.invalid(neighbor)
+        agg = rsv.merge(agg, neighbor, r3, active=ok)
+    return agg
+
+
+def restir_direct(
+    scene: SceneData,
+    gb: GBufferFrame,
+    last_gb: GBufferFrame,
+    it,  # Interaction from the shared primary pass
+    mat,  # SurfaceMaterial (textured)
+    ray_dir,  # [R, 3] primary ray direction
+    res_in: rsv.Reservoir,  # last frame's post-temporal reservoir
+    cfg: RenderConfig,
+    looper,
+) -> Tuple[jnp.ndarray, rsv.Reservoir]:
+    """One ReSTIR DI frame. Returns (direct radiance [R,3] modulated by
+    the G-buffer albedo, reservoir to feed next frame's temporal pass).
+    """
+    trv = traversal_arrays(scene)
+    R = cfg.num_pixels
+    pix = jnp.arange(R, dtype=jnp.uint32)
+
+    miss = ~it.valid
+    is_light = it.valid & (gb.prim_id == LIGHT_ID)
+    shade = it.valid & ~is_light
+
+    # demodulate: baseColor := 1 (restir.cu:141)
+    dmat = mat._replace(base_color=jnp.ones_like(mat.base_color))
+    wo = -ray_dir
+    delta = dmat.type == DIELECTRIC
+    norm = jnp.where(
+        (~delta & (mathx.dot(it.norm, wo) < 0))[..., None], -it.norm, it.norm
+    )
+
+    # ---- 1. RIS over K candidates without visibility (restir.cu:156-169)
+    def ris_body(i, res):
+        l1, l2, l3, l4 = rngmod.uniform4(
+            pix, looper, _CTR_RIS + 2 * i, rngmod.SALT_RESTIR
+        )
+        r_upd = rngmod.uniform1(
+            pix, looper, _CTR_RIS + 2 * i + 1, rngmod.SALT_RESTIR
+        )
+        ls = light_ops.sample_direct_light_no_visibility(
+            scene, it.pos, l1, l2, l3, l4,
+            has_env=cfg.has_env_map, single_sided=cfg.single_sided_lights,
+        )
+        cand = rsv.DirectSample(li=ls.radiance, wi=ls.wi, dist=ls.dist)
+        g = _p_hat_direct(cand, dmat, norm, wo)
+        w = mathx.luminance(g) / ls.pdf
+        w = jnp.where(mathx.is_nan_or_inf(w) | (ls.pdf <= 0.0), 0.0, w)
+        return rsv.update(res, cand, w, r_upd, active=shade)
+
+    res = jax.lax.fori_loop(0, cfg.ris_candidates, ris_body, rsv.zeros_direct(R))
+
+    # ---- 2. winner visibility: occluded => weight 0 (restir.cu:172-176)
+    target = it.pos + res.sample.wi * res.sample.dist[..., None]
+    occluded = ix.test_occlusion(trv, it.pos, target, active=shade)
+    res = res._replace(weight=jnp.where(occluded, 0.0, res.weight))
+
+    # ---- 3. temporal reuse (restir.cu:180-185)
+    if cfg.reuse & ReuseMode.TEMPORAL:
+        temporal, ok = find_temporal_neighbor(res_in, gb, last_gb)
+        ok = ok & ~rsv.invalid(temporal) & shade
+        r_t = rngmod.uniform1(pix, looper, _CTR_TEMPORAL, rngmod.SALT_RESTIR)
+        res = rsv.pre_clamped_merge(res, temporal, cfg.temporal_clamp, r_t, active=ok)
+
+    # post-temporal reservoir is what the next frame reuses
+    # (restir.cu:188,211-212)
+    res_out = rsv.check_validity(res)
+
+    # ---- 4. spatial reuse (restir.cu:190-210)
+    if cfg.reuse & ReuseMode.SPATIAL:
+        res_buf = res_out  # the checked post-temporal buffer
+        agg = _merge_spatial_neighbors(res_buf, gb, cfg, pix, looper)
+        ok = ~rsv.invalid(agg) & ~rsv.invalid(res) & shade
+        r_s = rngmod.uniform1(
+            pix, looper, _CTR_SPATIAL + cfg.spatial_neighbors, rngmod.SALT_RESTIR
+        )
+        res = rsv.merge(res, agg, r_s, active=ok)
+
+    # ---- 5. shade (restir.cu:216-226)
+    li_f = res.sample.li * bsdf_ops.eval_bsdf(dmat, norm, wo, res.sample.wi)
+    scalar = mathx.luminance(li_f)
+    w_big = res.weight / jnp.maximum(res.m.astype(jnp.float32), 1.0)
+    direct = li_f / jnp.maximum(scalar, 1e-20)[..., None] * w_big[..., None]
+    direct = jnp.where(
+        (shade & ~rsv.invalid(res) & (scalar > 0))[..., None], direct, 0.0
+    )
+    direct = mathx.zero_nan_or_inf(direct)
+
+    # demodulated emissive/miss values (see module docstring)
+    direct = jnp.where(is_light[..., None], 1.0, direct)
+    direct = jnp.where(miss[..., None], 1.0, direct)
+
+    # modulate by albedo (restir.cu:229)
+    direct = direct * gb.albedo
+    return direct, res_out

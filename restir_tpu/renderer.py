@@ -1,0 +1,225 @@
+"""Frame orchestration: render state pytree + the jitted frame step.
+
+TPU re-design of the reference's frame loop (main.cpp:146-185 `runCuda`):
+all mutable per-frame GPU buffers (illum accumulators, reservoir
+ping-pongs, G-buffer history, RNG epoch) become ONE immutable pytree,
+and a frame is a pure function
+
+    step : (scene, state, camera, config) -> (state', frame_radiance)
+
+jit-compiled once per (resolution, config) pair. The reference's buffer
+swap dance (restir.cu:434, gbuffer.cu:75-78) is just returning the new
+leaves; checkpoint/resume is serializing the pytree (the reference can
+only save PNGs, main.cpp:105-144).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DenoiserType, RenderConfig, TracerType
+from .models import denoiser as dn
+from .models import gbuffer as gbuf
+from .models import restir_di, restir_gi
+from .models.path_tracer import bvh_heatmap, pt_direct, pt_trace
+from .ops import reservoir as rsv
+from .ops.camera import Camera
+from .ops.tonemap import to_uint8, tonemap
+from .scene.scene_data import SceneData
+from .utils import rng as rngmod
+
+
+class RenderState(NamedTuple):
+    looper: jnp.ndarray  # uint32 scalar — RNG epoch (State::looper)
+    iteration: jnp.ndarray  # int32 scalar — accumulation frame count
+    direct_illum: jnp.ndarray  # [R, 3]
+    indirect_illum: jnp.ndarray  # [R, 3]
+    dir_reservoir: rsv.Reservoir  # ReSTIR DI temporal feed
+    gi_reservoir: rsv.Reservoir  # ReSTIR GI temporal feed
+    gbuffer: gbuf.GBufferFrame  # previous frame's G-buffer
+    last_camera: Camera  # previous frame's camera (motion vectors)
+    denoiser: dn.SVGFState  # SVGF temporal accumulation state
+
+
+def init_state(cfg: RenderConfig, cam: Camera) -> RenderState:
+    r = cfg.num_pixels
+    return RenderState(
+        looper=jnp.uint32(0),
+        iteration=jnp.int32(0),
+        direct_illum=jnp.zeros((r, 3)),
+        indirect_illum=jnp.zeros((r, 3)),
+        dir_reservoir=rsv.zeros_direct(r),
+        gi_reservoir=rsv.zeros_indirect(r),
+        gbuffer=gbuf.empty_gbuffer(r),
+        last_camera=cam,
+        denoiser=dn.init_svgf_state(r),
+    )
+
+
+def reset_iteration(state: RenderState) -> RenderState:
+    """The reference's camera-change reset (main.cpp:158-162): restart
+    the running average only — reservoirs and G-buffer history survive,
+    temporal reuse reprojects them."""
+    return state._replace(iteration=jnp.int32(0))
+
+
+def reset_accumulation(state: RenderState) -> RenderState:
+    """Camera-change reset (main.cpp:155-162): restart averaging and
+    temporal history, keep the RNG epoch monotonic."""
+    return state._replace(
+        iteration=jnp.int32(0),
+        direct_illum=jnp.zeros_like(state.direct_illum),
+        indirect_illum=jnp.zeros_like(state.indirect_illum),
+        dir_reservoir=jax.tree.map(jnp.zeros_like, state.dir_reservoir),
+        gi_reservoir=jax.tree.map(jnp.zeros_like, state.gi_reservoir),
+        denoiser=jax.tree.map(jnp.zeros_like, state.denoiser),
+    )
+
+
+def _accumulate(prev, new, iteration, accumulate: bool):
+    """Running mean (img*iter + x)/(iter+1) — restir.cu:230."""
+    if not accumulate:
+        return new
+    it = iteration.astype(jnp.float32)
+    return (prev * it + new) / (it + 1.0)
+
+
+def step(
+    scene: SceneData, state: RenderState, cam: Camera, cfg: RenderConfig
+) -> Tuple[RenderState, jnp.ndarray]:
+    """One frame. Returns (next state, displayable radiance [R, 3])."""
+    looper = state.looper
+
+    # ---- G-buffer + shared primary hit (one traversal pass per frame)
+    gb, it, mat, ray_dir = gbuf.render_gbuffer(
+        scene, cam, state.last_camera, cfg, looper
+    )
+
+    direct = state.direct_illum
+    indirect = state.indirect_illum
+    dir_res = state.dir_reservoir
+    gi_res = state.gi_reservoir
+
+    if cfg.tracer == TracerType.RESTIR_DI:
+        out, dir_res = restir_di.restir_direct(
+            scene, gb, state.gbuffer, it, mat, ray_dir, state.dir_reservoir,
+            cfg, looper,
+        )
+        direct = _accumulate(direct, out, state.iteration, cfg.accumulate)
+    elif cfg.tracer == TracerType.PT_DIRECT:
+        out = pt_direct(scene, cam, cfg, looper)
+        direct = _accumulate(direct, out, state.iteration, cfg.accumulate)
+    elif cfg.tracer == TracerType.PT_FULL:
+        d, ind = pt_trace(scene, cam, cfg, looper)
+        direct = _accumulate(direct, d, state.iteration, cfg.accumulate)
+        indirect = _accumulate(indirect, ind, state.iteration, cfg.accumulate)
+    elif cfg.tracer == TracerType.RESTIR_GI:
+        # combined DI + GI frame (the composition the reference sketches
+        # at main.cpp:167-168)
+        out, dir_res = restir_di.restir_direct(
+            scene, gb, state.gbuffer, it, mat, ray_dir, state.dir_reservoir,
+            cfg, looper,
+        )
+        ind, gi_res = restir_gi.restir_indirect(
+            scene, gb, state.gbuffer, it, mat, ray_dir, state.gi_reservoir,
+            cfg, looper,
+        )
+        direct = _accumulate(direct, out, state.iteration, cfg.accumulate)
+        indirect = _accumulate(indirect, ind, state.iteration, cfg.accumulate)
+    elif cfg.tracer == TracerType.BVH_VISUALIZE:
+        count = bvh_heatmap(scene, cam, cfg).astype(jnp.float32)
+        direct = jnp.stack([count * 0.01] * 3, axis=-1)
+    elif cfg.tracer == TracerType.GBUFFER_PREVIEW:
+        direct = gb.norm * 0.5 + 0.5
+    else:
+        raise ValueError(f"unknown tracer {cfg.tracer}")
+
+    frame = direct + indirect
+
+    # ---- denoise (wired, unlike the reference's dormant filters)
+    den_state = state.denoiser
+    if cfg.denoiser == DenoiserType.EAW:
+        frame = dn.eaw_filter(frame, gb, cam, cfg)
+    elif cfg.denoiser == DenoiserType.SVGF:
+        frame, den_state = dn.svgf_filter(
+            frame, gb, state.gbuffer, state.denoiser, cam, cfg
+        )
+
+    next_state = RenderState(
+        looper=looper + jnp.uint32(1),
+        iteration=state.iteration + 1,
+        direct_illum=direct,
+        indirect_illum=indirect,
+        dir_reservoir=dir_res,
+        gi_reservoir=gi_res,
+        gbuffer=gb,
+        last_camera=cam,
+        denoiser=den_state,
+    )
+    return next_state, frame
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_jit(scene, state, cam, cfg: RenderConfig):
+    return step(scene, state, cam, cfg)
+
+
+def frame_to_image(frame: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """Tonemap + quantize to uint8 [H, W, 3] — sendImageToPBO
+    (pathtrace.cu:30-106) / saveImage (main.cpp:105-144)."""
+    mapped = tonemap(frame, cfg.tone_mapping)
+    return to_uint8(mapped).reshape(cfg.height, cfg.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def frame_to_image_jit(frame, cfg: RenderConfig):
+    return frame_to_image(frame, cfg)
+
+
+def render(
+    scene: SceneData,
+    cam: Camera,
+    cfg: RenderConfig,
+    num_frames: int,
+    state: Optional[RenderState] = None,
+    camera_fn=None,
+) -> Tuple[RenderState, jnp.ndarray]:
+    """Host driver: run `num_frames` jitted steps (mainLoop semantics).
+    `camera_fn(frame_index) -> Camera` enables camera animation."""
+    if state is None:
+        state = init_state(cfg, cam)
+    frame = jnp.zeros((cfg.num_pixels, 3))
+    for i in range(num_frames):
+        c = camera_fn(i) if camera_fn is not None else cam
+        state, frame = step_jit(scene, state, c, cfg)
+    return state, frame
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume — the whole renderer state is one pytree
+
+
+def save_checkpoint(path: str, state: RenderState) -> None:
+    leaves, _ = jax.tree.flatten(state)
+    np.savez(path, *[np.asarray(leaf) for leaf in leaves])
+
+
+def load_checkpoint(path: str, cfg: RenderConfig, cam: Camera) -> RenderState:
+    template = init_state(cfg, cam)
+    leaves, treedef = jax.tree.flatten(template)
+    with np.load(path) as data:
+        loaded = [data[f"arr_{i}"] for i in range(len(leaves))]
+    for ref, got in zip(leaves, loaded):
+        if tuple(ref.shape) != tuple(got.shape):
+            raise ValueError(
+                f"checkpoint shape mismatch: {got.shape} vs {ref.shape} "
+                "(different resolution or config?)"
+            )
+    return jax.tree.unflatten(
+        treedef, [jnp.asarray(v, leaf.dtype) for v, leaf in zip(loaded, leaves)]
+    )

@@ -1,15 +1,30 @@
 """Test harness config: force CPU with 8 virtual devices.
 
-Must run before jax is imported anywhere, hence the env mutation at
-module import time (pytest imports conftest before test modules).
+The container's sitecustomize registers and eagerly initializes the
+'axon' TPU backend at interpreter startup, so setting JAX_PLATFORMS
+afterwards is not enough — we must also drop the already-created
+backends so they re-initialize as the 8-device virtual-CPU platform
+the multi-chip tests run on.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax._src.xla_bridge as _xb
+
+    _xb._clear_backends()
+except Exception:  # pragma: no cover - jax internals moved
+    pass
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

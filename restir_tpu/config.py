@@ -69,6 +69,10 @@ class RenderConfig:
     svgf_sig_normal: float = 128.0
     modulate_albedo: bool = True
 
+    # intersector: "auto" picks the MXU brute-force path for small/medium
+    # scenes and the stackless-BVH gather walk for large ones
+    intersector: str = "auto"
+
     # scene static capability flags
     has_env_map: bool = False
     with_textures: bool = False

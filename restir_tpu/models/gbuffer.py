@@ -75,7 +75,7 @@ def render_gbuffer(
     Returns (gbuffer, interaction, textured material, ray_dir [R,3]) —
     the latter three let integrators skip re-tracing the primary ray.
     """
-    trv = traversal_arrays(scene)
+    trv = traversal_arrays(scene, cfg.intersector)
     x, y = pixel_centers(cfg.width, cfg.height)
     pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 

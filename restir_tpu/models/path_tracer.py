@@ -36,7 +36,7 @@ from ..utils import rng as rngmod
 
 def _primary_setup(scene, cam: Camera, cfg: RenderConfig, looper, salt):
     """Camera ray + first hit + textured material, shared by all PTs."""
-    trv = traversal_arrays(scene)
+    trv = traversal_arrays(scene, cfg.intersector)
     x, y = pixel_centers(cfg.width, cfg.height)
     pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
     r1, r2, _, _ = rngmod.uniform4(pix, looper, 0, salt)
@@ -222,7 +222,7 @@ def pt_indirect(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
 
 def bvh_heatmap(scene: SceneData, cam: Camera, cfg: RenderConfig):
     """BVH traversal cost view — visualizedIntersect (scene.h:318-356)."""
-    trv = traversal_arrays(scene)
+    trv = traversal_arrays(scene, cfg.intersector)
     x, y = pixel_centers(cfg.width, cfg.height)
     o, d = sample_rays(
         cam, cfg.width, cfg.height, x, y,

@@ -124,6 +124,59 @@ def _merge_spatial_neighbors(
     return agg
 
 
+_RIS_CHUNK = 32768
+
+
+def _ris_chunked(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
+    """Chunked RIS: lax.map over ray chunks, K-candidate fori per chunk."""
+    R = cfg.num_pixels
+    chunk = min(_RIS_CHUNK, R)
+    c = -(-R // chunk)
+    pad = c * chunk - R
+
+    def pad0(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    pix_all = pad0(jnp.arange(R, dtype=jnp.uint32))
+    inputs = (
+        pix_all.reshape(c, chunk),
+        pad0(pos).reshape(c, chunk, 3),
+        jax.tree.map(lambda x: pad0(x).reshape((c, chunk) + x.shape[1:]), dmat),
+        pad0(norm).reshape(c, chunk, 3),
+        pad0(wo).reshape(c, chunk, 3),
+        pad0(shade).reshape(c, chunk),
+    )
+
+    def per_chunk(args):
+        pix_c, pos_c, mat_c, norm_c, wo_c, shade_c = args
+
+        def ris_body(i, res):
+            l1, l2, l3, l4 = rngmod.uniform4(
+                pix_c, looper, _CTR_RIS + 2 * i, rngmod.SALT_RESTIR
+            )
+            r_upd = rngmod.uniform1(
+                pix_c, looper, _CTR_RIS + 2 * i + 1, rngmod.SALT_RESTIR
+            )
+            ls = light_ops.sample_direct_light_no_visibility(
+                scene, pos_c, l1, l2, l3, l4,
+                has_env=cfg.has_env_map, single_sided=cfg.single_sided_lights,
+            )
+            cand = rsv.DirectSample(li=ls.radiance, wi=ls.wi, dist=ls.dist)
+            g = _p_hat_direct(cand, mat_c, norm_c, wo_c)
+            w = mathx.luminance(g) / ls.pdf
+            w = jnp.where(mathx.is_nan_or_inf(w) | (ls.pdf <= 0.0), 0.0, w)
+            return rsv.update(res, cand, w, r_upd, active=shade_c)
+
+        return jax.lax.fori_loop(
+            0, cfg.ris_candidates, ris_body, rsv.zeros_direct(chunk)
+        )
+
+    res = jax.lax.map(per_chunk, inputs)
+    return jax.tree.map(lambda x: x.reshape((c * chunk,) + x.shape[2:])[:R], res)
+
+
 def restir_direct(
     scene: SceneData,
     gb: GBufferFrame,
@@ -138,7 +191,7 @@ def restir_direct(
     """One ReSTIR DI frame. Returns (direct radiance [R,3] modulated by
     the G-buffer albedo, reservoir to feed next frame's temporal pass).
     """
-    trv = traversal_arrays(scene)
+    trv = traversal_arrays(scene, cfg.intersector)
     R = cfg.num_pixels
     pix = jnp.arange(R, dtype=jnp.uint32)
 
@@ -155,24 +208,14 @@ def restir_direct(
     )
 
     # ---- 1. RIS over K candidates without visibility (restir.cu:156-169)
-    def ris_body(i, res):
-        l1, l2, l3, l4 = rngmod.uniform4(
-            pix, looper, _CTR_RIS + 2 * i, rngmod.SALT_RESTIR
-        )
-        r_upd = rngmod.uniform1(
-            pix, looper, _CTR_RIS + 2 * i + 1, rngmod.SALT_RESTIR
-        )
-        ls = light_ops.sample_direct_light_no_visibility(
-            scene, it.pos, l1, l2, l3, l4,
-            has_env=cfg.has_env_map, single_sided=cfg.single_sided_lights,
-        )
-        cand = rsv.DirectSample(li=ls.radiance, wi=ls.wi, dist=ls.dist)
-        g = _p_hat_direct(cand, dmat, norm, wo)
-        w = mathx.luminance(g) / ls.pdf
-        w = jnp.where(mathx.is_nan_or_inf(w) | (ls.pdf <= 0.0), 0.0, w)
-        return rsv.update(res, cand, w, r_upd, active=shade)
-
-    res = jax.lax.fori_loop(0, cfg.ris_candidates, ris_body, rsv.zeros_direct(R))
+    #
+    # Memory-layout note: a whole-frame fori_loop would stream the [R]
+    # reservoir carry (~9 floats/pixel) through HBM on every one of the
+    # K iterations — gigabytes per frame. Instead rays are processed in
+    # VMEM-sized chunks (lax.map over chunks), the K-candidate loop
+    # running entirely on-chip per chunk; HBM sees each pixel's inputs
+    # once and its final reservoir once.
+    res = _ris_chunked(scene, it.pos, dmat, norm, wo, shade, cfg, looper)
 
     # ---- 2. winner visibility: occluded => weight 0 (restir.cu:172-176)
     target = it.pos + res.sample.wi * res.sample.dist[..., None]

@@ -65,7 +65,7 @@ def trace_gi_sample(
     Returns (sample, prim_sample_pdf [R], prim_delta [R] bool,
     valid [R] bool).
     """
-    trv = traversal_arrays(scene)
+    trv = traversal_arrays(scene, cfg.intersector)
     R = cfg.num_pixels
 
     lo = jnp.zeros((R, 3))

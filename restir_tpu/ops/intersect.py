@@ -86,7 +86,8 @@ def intersect_aabb(o, d, lo, hi):
 
 
 class TraversalArrays(NamedTuple):
-    """The BVH + geometry arrays traversal needs (a view into SceneData)."""
+    """The intersector arrays (a view into SceneData). Constructed inside
+    traced code, so `size`/`method` stay Python-static."""
 
     verts: jnp.ndarray  # [N, 3, 3]
     bounds_lo: jnp.ndarray  # [B, 3]
@@ -95,6 +96,8 @@ class TraversalArrays(NamedTuple):
     box_flat: jnp.ndarray  # [6*B] int32
     miss_flat: jnp.ndarray  # [6*B] int32
     size: int  # B (static)
+    method: str = "bvh"  # "bvh" | "brute" (static)
+    tri_xform: jnp.ndarray = None  # [4, 3N] MXU brute-force transforms
 
 
 def _traversal_setup(trv: TraversalArrays, d):
@@ -106,6 +109,24 @@ def _traversal_setup(trv: TraversalArrays, d):
 
 
 def intersect_closest(trv: TraversalArrays, o, d, active=None) -> Hit:
+    """Closest hit, dispatching on the (static) intersector method."""
+    if trv.method == "brute":
+        from .intersect_bf import intersect_closest_bf
+
+        return intersect_closest_bf(trv.tri_xform, o, d, active=active)
+    return intersect_closest_bvh(trv, o, d, active=active)
+
+
+def test_occlusion(trv: TraversalArrays, x, y, active=None) -> jnp.ndarray:
+    """Any-hit between x and y, dispatching on the intersector method."""
+    if trv.method == "brute":
+        from .intersect_bf import test_occlusion_bf
+
+        return test_occlusion_bf(trv.tri_xform, x, y, active=active)
+    return test_occlusion_bvh(trv, x, y, active=active)
+
+
+def intersect_closest_bvh(trv: TraversalArrays, o, d, active=None) -> Hit:
     """Closest-hit over all rays — scene.h:245-284 in lockstep form.
 
     `active`: optional bool[R]; inactive rays skip traversal entirely
@@ -161,7 +182,7 @@ def intersect_closest(trv: TraversalArrays, o, d, active=None) -> Hit:
     return Hit(prim_id=prim, dist=dist, bary=bary)
 
 
-def test_occlusion(trv: TraversalArrays, x, y, active=None) -> jnp.ndarray:
+def test_occlusion_bvh(trv: TraversalArrays, x, y, active=None) -> jnp.ndarray:
     """Any-hit between points x and y — scene.h:286-316. Returns bool[R]
     (True = occluded). Inactive rays return False without traversing."""
     seg = y - x

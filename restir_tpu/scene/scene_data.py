@@ -86,6 +86,8 @@ class SceneData(NamedTuple):
     bvh_prim: jnp.ndarray  # [6B] int32
     bvh_box: jnp.ndarray  # [6B] int32
     bvh_miss: jnp.ndarray  # [6B] int32
+    # MXU brute-force intersector: per-tri affine transforms [4, 3N]
+    tri_xform: jnp.ndarray
     # materials, [M]
     mat_type: jnp.ndarray  # [M] int32
     mat_base_color: jnp.ndarray  # [M, 3]
@@ -130,9 +132,17 @@ def has_env_map(scene: SceneData) -> bool:
     return scene.env_map.shape[0] > 1 or scene.env_map.shape[1] > 1
 
 
-def traversal_arrays(scene: SceneData):
+# brute force wins until the O(N) matmul work exceeds the (much more
+# HBM-expensive) gather walk; crossover measured on v5e is >> 10k tris
+BRUTE_FORCE_MAX_PRIMS = 16384
+
+
+def traversal_arrays(scene: SceneData, intersector: str = "auto"):
     from ..ops.intersect import TraversalArrays
 
+    if intersector == "auto":
+        n = scene.verts.shape[0]
+        intersector = "brute" if n <= BRUTE_FORCE_MAX_PRIMS else "bvh"
     return TraversalArrays(
         verts=scene.verts,
         bounds_lo=scene.bounds_lo,
@@ -140,7 +150,9 @@ def traversal_arrays(scene: SceneData):
         prim_flat=scene.bvh_prim,
         box_flat=scene.bvh_box,
         miss_flat=scene.bvh_miss,
+        tri_xform=scene.tri_xform,
         size=scene.bounds_lo.shape[0],
+        method=intersector,
     )
 
 
@@ -247,8 +259,11 @@ def build_scene(
         light_table = build_alias_table(np.ones(1))
         sum_power_inv = 0.0  # no lights: pdf guard handles this
 
-    # --- acceleration structure
+    # --- acceleration structures (stackless MTBVH + MXU brute-force)
     bvh = build_bvh(verts.reshape(-1, 3), impl=bvh_impl)
+    from ..ops.intersect_bf import build_tri_transforms
+
+    tri_xform = build_tri_transforms(verts.reshape(-1, 3))
 
     # --- materials SoA
     mat_arr = lambda f, dt: jnp.asarray(  # noqa: E731
@@ -293,6 +308,7 @@ def build_scene(
         bvh_prim=jnp.asarray(bvh.prim_id.reshape(-1)),
         bvh_box=jnp.asarray(bvh.box_id.reshape(-1)),
         bvh_miss=jnp.asarray(bvh.miss.reshape(-1)),
+        tri_xform=jnp.asarray(tri_xform),
         mat_type=mat_arr(lambda m: m.type, np.int32),
         mat_base_color=mat_arr(lambda m: m.base_color, np.float32),
         mat_metallic=mat_arr(lambda m: m.metallic, np.float32),

@@ -58,6 +58,12 @@ class RenderConfig:
     temporal_clamp: int = 20
     spatial_neighbors: int = 5
     spatial_radius: float = 5.0
+    # candidate generation: "reference" = the CUDA design (K power-
+    # proportional RIS candidates); "cdf" = TPU-native exact per-pixel
+    # CDF over all lights on the MXU (ops/lights.sample_light_cdf);
+    # "auto" = cdf when possible (no env map), else reference
+    ris_mode: str = "auto"
+    cdf_candidates: int = 4
 
     # denoiser
     denoiser: int = DenoiserType.NONE

@@ -29,7 +29,8 @@ from ..ops import intersect as ix
 from ..ops import surface as surf
 from ..ops.bsdf import SurfaceMaterial
 from ..ops.camera import Camera, pixel_centers, raster_coord, sample_rays
-from ..ops.texture import env_sample_bilinear, fetch_textured_material
+from ..ops.primary import trace_primary
+from ..ops.texture import env_sample_bilinear
 from ..scene.scene_data import LIGHT, SceneData, traversal_arrays
 from ..utils import math as mathx
 from ..utils import rng as rngmod
@@ -86,12 +87,7 @@ def render_gbuffer(
         ry = jnp.full_like(y, 0.5)
     o, d = sample_rays(cam, cfg.width, cfg.height, x, y, rx, ry)
 
-    hit = ix.intersect_closest(trv, o, d)
-    it = surf.make_interaction(scene, hit)
-    mat, mapped_norm = fetch_textured_material(
-        scene, it.mat_id, it.uv, it.norm, cfg.with_textures
-    )
-    it = it._replace(norm=mapped_norm)
+    it, mat, hit = trace_primary(scene, trv, o, d, cfg.with_textures)
 
     is_light = it.valid & (mat.type == LIGHT)
     front = mathx.dot(it.norm, d) < 0.0

@@ -28,7 +28,8 @@ from ..ops import intersect as ix
 from ..ops import lights as light_ops
 from ..ops import surface as surf
 from ..ops.camera import Camera, pixel_centers, sample_rays
-from ..ops.texture import env_sample_bilinear, fetch_textured_material
+from ..ops.primary import trace_primary
+from ..ops.texture import env_sample_bilinear
 from ..scene.scene_data import DIELECTRIC, LIGHT, SceneData, traversal_arrays
 from ..utils import math as mathx
 from ..utils import rng as rngmod
@@ -41,12 +42,7 @@ def _primary_setup(scene, cam: Camera, cfg: RenderConfig, looper, salt):
     pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
     r1, r2, _, _ = rngmod.uniform4(pix, looper, 0, salt)
     o, d = sample_rays(cam, cfg.width, cfg.height, x, y, r1, r2)
-    hit = ix.intersect_closest(trv, o, d)
-    it = surf.make_interaction(scene, hit)
-    mat, norm = fetch_textured_material(
-        scene, it.mat_id, it.uv, it.norm, cfg.with_textures
-    )
-    it = it._replace(norm=norm)
+    it, mat, hit = trace_primary(scene, trv, o, d, cfg.with_textures)
     return trv, pix, o, d, hit, it, mat
 
 
@@ -166,10 +162,8 @@ def pt_trace(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
         alive = ok
 
         ro, rd = ix.make_offseted_ray(pos, bs.wi)
-        hit = ix.intersect_closest(trv, ro, rd, active=alive)
-        new_it = surf.make_interaction(scene, hit)
-        new_mat, new_norm = fetch_textured_material(
-            scene, new_it.mat_id, new_it.uv, new_it.norm, cfg.with_textures
+        new_it, new_mat, hit = trace_primary(
+            scene, trv, ro, rd, cfg.with_textures, active=alive
         )
 
         # env miss with MIS (pathtrace.cu:235-245)

@@ -66,65 +66,166 @@ def find_temporal_neighbor(
     """Gather last frame's reservoir at the motion index with geometric
     rejection — findTemporalNeighbor (restir.cu:21-45).
 
+    All reuse state (reservoir + last-frame similarity attributes) is
+    packed into ONE row matrix so the motion-indexed fetch is a single
+    gather (see reservoir.pack_rows for why this matters on TPU).
+
     Returns (neighbor reservoir, ok mask); rejected lanes must be
     treated as an empty reservoir by the caller.
     """
     last_idx = gb.motion
     safe_idx = jnp.maximum(last_idx, 0)
     ok = (last_idx >= 0) & (gb.prim_id > NULL_PRIMITIVE)
-    same_prim = last_gb.prim_id[safe_idx] == gb.prim_id
-    norm_ok = (
-        mathx.abs_dot(gb.norm, last_gb.norm[safe_idx]) >= 0.9
+
+    packed = rsv.pack_channels(
+        (res_in, last_gb.prim_id, last_gb.norm, last_gb.depth)
     )
+    rows = packed[:, safe_idx]
+    neighbor, lprim, lnorm, ldepth = rsv.unpack_channels(
+        rows, (res_in, last_gb.prim_id, last_gb.norm, last_gb.depth)
+    )
+
+    same_prim = lprim == gb.prim_id
+    norm_ok = mathx.abs_dot(gb.norm, lnorm) >= 0.9
     depth = gb.depth
-    pdepth = last_gb.depth[safe_idx]
-    depth_ok = jnp.abs(pdepth - depth) <= depth * 0.1
+    depth_ok = jnp.abs(ldepth - depth) <= depth * 0.1
     ok = ok & same_prim & norm_ok & depth_ok
-    return rsv.gather(res_in, safe_idx), ok
-
-
-def _find_spatial_neighbor_disk(
-    res_buf: rsv.Reservoir, gb: GBufferFrame, cfg: RenderConfig, rx, ry
-) -> Tuple[rsv.Reservoir, jnp.ndarray]:
-    """One concentric-disk neighbor lookup with similarity rejection —
-    findSpatialNeighborDisk (restir.cu:48-85)."""
-    w, h = cfg.width, cfg.height
-    pix = jnp.arange(w * h, dtype=jnp.int32)
-    x = pix % w
-    y = pix // w
-
-    p = mathx.to_concentric_disk(rx, ry) * cfg.spatial_radius
-    # int cast truncates toward zero like C (restir.cu:54-55)
-    px = (x.astype(jnp.float32) + 0.5 + p[..., 0]).astype(jnp.int32)
-    py = (y.astype(jnp.float32) + 0.5 + p[..., 1]).astype(jnp.int32)
-    pidx = py * w + px
-    safe = jnp.clip(pidx, 0, w * h - 1)
-
-    ok = (px >= 0) & (px < w) & (py >= 0) & (py < h) & ~((px == x) & (py == y))
-    ok = ok & (gb.prim_id[safe] == gb.prim_id)
-    ok = ok & (mathx.dot(gb.norm, gb.norm[safe]) >= 0.9)
-    depth = gb.depth
-    ok = ok & (jnp.abs(depth - gb.depth[safe]) <= depth * 0.1)
-    return rsv.gather(res_buf, safe), ok
+    return neighbor, ok
 
 
 def _merge_spatial_neighbors(
     res_buf: rsv.Reservoir, gb: GBufferFrame, cfg: RenderConfig, pix, looper
 ) -> rsv.Reservoir:
     """Aggregate up to `spatial_neighbors` disk neighbors into a fresh
-    reservoir — mergeSpatialNeighborDirect (restir.cu:87-100)."""
+    reservoir — mergeSpatialNeighborDirect (restir.cu:87-100).
+
+    Deviation from the reference, for TPU layout reasons: the disk
+    offset of neighbor i is drawn ONCE PER FRAME and shared by all
+    pixels (the reference draws per-pixel offsets, restir.cu:53). A
+    shared offset turns the neighbor fetch from an arbitrary [R]->[R]
+    gather (whose operand TPU copies into a 128x-padded layout — GBs of
+    temps) into a dynamic 2-D roll of the packed reuse buffer. The
+    merge randomness and similarity rejection stay per-pixel; offsets
+    re-randomize every frame through `looper`, so the estimator keeps
+    its coverage over the disk — only intra-frame offset correlation is
+    introduced, which ReSTIR tolerates by design (neighbors are already
+    reused across pixels).
+    """
+    w, h = cfg.width, cfg.height
+    x = (pix % w).astype(jnp.int32)
+    y = (pix // w).astype(jnp.int32)
+    depth = gb.depth
+
+    packed = rsv.pack_channels((res_buf, gb.prim_id, gb.norm, gb.depth))
+    img = packed.reshape(-1, h, w)
+    template = (res_buf, gb.prim_id, gb.norm, gb.depth)
+
     agg = rsv.zeros_direct(cfg.num_pixels)
     for i in range(cfg.spatial_neighbors):
-        r1, r2, r3, _ = rngmod.uniform4(
-            pix, looper, _CTR_SPATIAL + i, rngmod.SALT_RESTIR
+        # per-frame shared offset (scalar draw, seeded by looper)
+        s1, s2, _, _ = rngmod.uniform4(
+            jnp.uint32(i), looper, _CTR_SPATIAL + i, rngmod.SALT_RESTIR
         )
-        neighbor, ok = _find_spatial_neighbor_disk(res_buf, gb, cfg, r1, r2)
+        p = mathx.to_concentric_disk(s1, s2) * cfg.spatial_radius
+        dx = (0.5 + p[..., 0]).astype(jnp.int32)
+        dy = (0.5 + p[..., 1]).astype(jnp.int32)
+
+        shifted = jnp.roll(img, (-dy, -dx), axis=(1, 2)).reshape(-1, w * h)
+        neighbor, nprim, nnorm, ndepth = rsv.unpack_channels(shifted, template)
+
+        px = x + dx
+        py = y + dy
+        ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        ok = ok & ~((dx == 0) & (dy == 0))
+        ok = ok & (nprim == gb.prim_id)
+        ok = ok & (mathx.dot(gb.norm, nnorm) >= 0.9)
+        ok = ok & (jnp.abs(depth - ndepth) <= depth * 0.1)
         ok = ok & ~rsv.invalid(neighbor)
+
+        r3 = rngmod.uniform1(pix, looper, _CTR_SPATIAL + i, rngmod.SALT_RESTIR)
         agg = rsv.merge(agg, neighbor, r3, active=ok)
     return agg
 
 
 _RIS_CHUNK = 32768
+
+
+def resolve_ris_mode(cfg: RenderConfig) -> str:
+    if cfg.ris_mode != "auto":
+        return cfg.ris_mode
+    # the CDF sampler covers area lights only; env-map scenes keep the
+    # reference candidate loop
+    return "reference" if cfg.has_env_map else "cdf"
+
+
+def _ris_cdf(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
+    """TPU-native candidate stage: K draws from the exact per-pixel
+    light CDF (see ops/lights.sample_light_cdf), streamed into the
+    reservoir with exact pdfs. K=cdf_candidates (default 4) achieves the
+    selection quality of many power-proportional candidates because the
+    draw distribution already tracks the target.
+
+    Ray-chunked (lax.map) so the [chunk, L] target/CDF matrices stay
+    VMEM-sized instead of materializing [R, L] in HBM. On TPU the whole
+    stage runs as one fused Pallas kernel (ops/pallas/ris_kernel.py)."""
+    from ..ops.intersect import _on_tpu
+
+    if _on_tpu():
+        from ..ops.pallas.ris_kernel import ris_cdf_pallas
+
+        li, wi, dist, weight, m = ris_cdf_pallas(
+            pos, norm, wo, dmat.type, dmat.metallic, dmat.roughness, shade,
+            looper,
+            scene.light_verts, scene.light_normal, scene.light_radiance,
+            scene.light_area, scene.light_center,
+            k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
+            ctr_base=_CTR_RIS,
+        )
+        return rsv.Reservoir(
+            sample=rsv.DirectSample(li=li, wi=wi, dist=dist),
+            weight=weight,
+            m=m,
+        )
+
+    R = cfg.num_pixels
+    chunk = min(_RIS_CHUNK, R)
+    c = -(-R // chunk)
+    pad = c * chunk - R
+
+    def pad0(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    inputs = (
+        pad0(jnp.arange(R, dtype=jnp.uint32)).reshape(c, chunk),
+        pad0(pos).reshape(c, chunk, 3),
+        jax.tree.map(lambda x: pad0(x).reshape((c, chunk) + x.shape[1:]), dmat),
+        pad0(norm).reshape(c, chunk, 3),
+        pad0(wo).reshape(c, chunk, 3),
+        pad0(shade).reshape(c, chunk),
+    )
+
+    def per_chunk(args):
+        pix_c, pos_c, mat_c, norm_c, wo_c, shade_c = args
+        res = rsv.zeros_direct(chunk)
+        for k in range(cfg.cdf_candidates):
+            r1, r2, r3, r4 = rngmod.uniform4(
+                pix_c, looper, _CTR_RIS + k, rngmod.SALT_RESTIR
+            )
+            ls = light_ops.sample_light_cdf(
+                scene, pos_c, norm_c, r1, r2, r3,
+                single_sided=cfg.single_sided_lights,
+            )
+            cand = rsv.DirectSample(li=ls.radiance, wi=ls.wi, dist=ls.dist)
+            g = _p_hat_direct(cand, mat_c, norm_c, wo_c)
+            w = mathx.luminance(g) / ls.pdf
+            w = jnp.where(mathx.is_nan_or_inf(w) | (ls.pdf <= 0.0), 0.0, w)
+            res = rsv.update(res, cand, w, r4, active=shade_c)
+        return res
+
+    res = jax.lax.map(per_chunk, inputs)
+    return jax.tree.map(lambda x: x.reshape((c * chunk,) + x.shape[2:])[:R], res)
 
 
 def _ris_chunked(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
@@ -211,11 +312,13 @@ def restir_direct(
     #
     # Memory-layout note: a whole-frame fori_loop would stream the [R]
     # reservoir carry (~9 floats/pixel) through HBM on every one of the
-    # K iterations — gigabytes per frame. Instead rays are processed in
-    # VMEM-sized chunks (lax.map over chunks), the K-candidate loop
-    # running entirely on-chip per chunk; HBM sees each pixel's inputs
-    # once and its final reservoir once.
-    res = _ris_chunked(scene, it.pos, dmat, norm, wo, shade, cfg, looper)
+    # K iterations — gigabytes per frame. The reference mode processes
+    # rays in VMEM-sized chunks (lax.map) instead; the cdf mode needs
+    # only K=4 MXU-friendly passes.
+    if resolve_ris_mode(cfg) == "cdf":
+        res = _ris_cdf(scene, it.pos, dmat, norm, wo, shade, cfg, looper)
+    else:
+        res = _ris_chunked(scene, it.pos, dmat, norm, wo, shade, cfg, looper)
 
     # ---- 2. winner visibility: occluded => weight 0 (restir.cu:172-176)
     target = it.pos + res.sample.wi * res.sample.dist[..., None]

@@ -34,7 +34,8 @@ from ..ops import intersect as ix
 from ..ops import lights as light_ops
 from ..ops import reservoir as rsv
 from ..ops import surface as surf
-from ..ops.texture import env_sample_bilinear, fetch_textured_material
+from ..ops.primary import trace_primary
+from ..ops.texture import env_sample_bilinear
 from ..scene.scene_data import DIELECTRIC, LIGHT, SceneData, traversal_arrays
 from ..utils import math as mathx
 from ..utils import rng as rngmod
@@ -131,12 +132,9 @@ def trace_gi_sample(
         alive = ok
 
         ro, rd = ix.make_offseted_ray(pos, bs.wi)
-        hit = ix.intersect_closest(trv, ro, rd, active=alive)
-        new_it = surf.make_interaction(scene, hit)
-        new_mat, new_norm = fetch_textured_material(
-            scene, new_it.mat_id, new_it.uv, new_it.norm, cfg.with_textures
+        new_it, new_mat, hit = trace_primary(
+            scene, trv, ro, rd, cfg.with_textures, active=alive
         )
-        new_it = new_it._replace(norm=new_norm)
 
         # env miss with MIS (restir.cu:331-342)
         if cfg.has_env_map:

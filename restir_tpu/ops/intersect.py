@@ -108,9 +108,21 @@ def _traversal_setup(trv: TraversalArrays, d):
     return base
 
 
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
 def intersect_closest(trv: TraversalArrays, o, d, active=None) -> Hit:
-    """Closest hit, dispatching on the (static) intersector method."""
+    """Closest hit, dispatching on the (static) intersector method.
+
+    "brute" uses the Pallas kernel on TPU (VMEM-resident tiles) and the
+    XLA chunked version elsewhere; "bvh" is the lockstep gather walk.
+    """
     if trv.method == "brute":
+        if _on_tpu():
+            from .pallas.intersect_kernel import intersect_closest_pallas
+
+            return intersect_closest_pallas(trv.tri_xform, o, d, active=active)
         from .intersect_bf import intersect_closest_bf
 
         return intersect_closest_bf(trv.tri_xform, o, d, active=active)
@@ -120,6 +132,10 @@ def intersect_closest(trv: TraversalArrays, o, d, active=None) -> Hit:
 def test_occlusion(trv: TraversalArrays, x, y, active=None) -> jnp.ndarray:
     """Any-hit between x and y, dispatching on the intersector method."""
     if trv.method == "brute":
+        if _on_tpu():
+            from .pallas.intersect_kernel import test_occlusion_pallas
+
+            return test_occlusion_pallas(trv.tri_xform, x, y, active=active)
         from .intersect_bf import test_occlusion_bf
 
         return test_occlusion_bf(trv.tri_xform, x, y, active=active)

@@ -120,6 +120,99 @@ def sample_direct_light_no_visibility(
     return LightSample(pdf=pdf, radiance=radiance, wi=wi, dist=dist)
 
 
+def sample_light_cdf(
+    scene: SceneData,
+    pos,  # [R, 3] shading points
+    norm,  # [R, 3] shading normals (oriented toward wo)
+    r1, r2, r3,  # [R] uniforms: CDF draw + triangle point
+    single_sided: bool = True,
+) -> LightSample:
+    """TPU-native light selection: exact per-pixel CDF over ALL lights.
+
+    Replaces the reference's 32x power-proportional RIS candidates
+    (restir.cu:156-169) with ONE draw from the per-pixel target
+    distribution
+
+        T_l(x) = lum_l * area_l * relu(n.(c_l-x)) * side(n_l.(x-c_l)) / d^4
+
+    evaluated for every light at its centroid c_l. Every dot product is
+    bilinear in per-pixel and per-light features, so the whole [R, L]
+    target matrix is three small matmuls on the MXU — no gathers, no
+    candidate loop. The returned pdf is EXACT (selection probability x
+    uniform-area point pdf in solid angle), so estimators stay unbiased;
+    the centroid approximation only shapes the selection quality.
+
+    One [R] gather fetches the chosen light's geometry (vs 32 per pixel
+    in the reference's loop). This is the TPU answer to the GPU's
+    L1-cached random table reads.
+    """
+    L = scene.light_verts.shape[0]
+
+    n_dot_x = mathx.dot(norm, pos)
+    phi_a = jnp.concatenate([norm, -n_dot_x[..., None]], axis=-1)  # [R,4]
+    psi_a = jnp.concatenate(
+        [scene.light_center, jnp.ones((L, 1))], axis=-1
+    )  # [L,4]
+    a = phi_a @ psi_a.T  # [R, L] = n.(c_l - x)
+
+    phi_b = jnp.concatenate([pos, jnp.ones_like(n_dot_x[..., None])], axis=-1)
+    psi_b = jnp.concatenate(
+        [scene.light_normal,
+         -jnp.sum(scene.light_normal * scene.light_center, -1, keepdims=True)],
+        axis=-1,
+    )
+    b = phi_b @ psi_b.T  # [R, L] = n_l.(x - c_l)
+
+    x2 = jnp.sum(pos * pos, axis=-1)
+    phi_c = jnp.concatenate(
+        [-2.0 * pos, jnp.ones_like(x2[..., None]), x2[..., None]], axis=-1
+    )  # [R,5]
+    c2 = jnp.sum(scene.light_center * scene.light_center, axis=-1)
+    psi_c = jnp.concatenate(
+        [scene.light_center, c2[..., None], jnp.ones((L, 1))], axis=-1
+    )
+    d2 = jnp.maximum(phi_c @ psi_c.T, 1e-8)  # [R, L] = |c_l - x|^2
+
+    lum_area = mathx.luminance(scene.light_radiance) * scene.light_area  # [L]
+    side = b > 0.0 if single_sided else jnp.abs(b) > 0.0
+    t = jnp.where(
+        (a > 0.0) & side,
+        lum_area[None, :] * a * jnp.abs(b) / (d2 * d2),
+        0.0,
+    )  # [R, L]
+
+    cdf = jnp.cumsum(t, axis=-1)
+    total = cdf[:, -1]
+    has_any = total > 0.0
+    thresh = r1 * total
+    idx = jnp.sum((cdf <= thresh[..., None]).astype(jnp.int32), axis=-1)
+    idx = jnp.minimum(idx, L - 1)
+
+    col = jnp.arange(L, dtype=jnp.int32)
+    sel = col[None, :] == idx[..., None]
+    q = jnp.sum(jnp.where(sel, t, 0.0), axis=-1) / jnp.maximum(total, 1e-20)
+
+    tri = scene.light_verts[idx]  # [R, 3, 3] — the one gather
+    v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    sampled = mathx.sample_triangle_uniform(v0, v1, v2, r2, r3)
+    lnormal = scene.light_normal[idx]
+    area = scene.light_area[idx]
+    radiance = scene.light_radiance[idx]
+
+    to_sampled = sampled - pos
+    wi = mathx.safe_normalize(to_sampled)
+    dist = mathx.length(to_sampled)
+    # exact pdf: selection q x area->solid-angle of uniform point
+    pdf = q * mathx.pdf_area_to_solid_angle(
+        1.0 / jnp.maximum(area, 1e-20), pos, sampled, lnormal
+    )
+    if single_sided:
+        front = mathx.dot(lnormal, to_sampled) <= -1e-6
+        pdf = jnp.where(front, pdf, INVALID_PDF)
+    pdf = jnp.where(has_any & (q > 0.0), pdf, INVALID_PDF)
+    return LightSample(pdf=pdf, radiance=radiance, wi=wi, dist=dist)
+
+
 def sample_direct_light(
     scene: SceneData,
     trv: ix.TraversalArrays,

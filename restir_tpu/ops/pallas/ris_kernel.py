@@ -1,0 +1,375 @@
+"""Pallas TPU kernel: fused ReSTIR DI candidate stage (CDF light sampling).
+
+Implements the TPU-native candidate generation of models/restir_di.py's
+cdf mode entirely on-chip, per ray tile:
+
+  1. per-(ray, light) target weights T via bilinear matmuls on the MXU
+     (see ops/lights.sample_light_cdf for the math);
+  2. per-ray CDF via one [L, L] lower-triangular matmul (Mosaic has no
+     lane/sublane cumsum);
+  3. K candidate draws: inverse-CDF select (compare+sum), light-row
+     fetch via a [C, L] @ [L, B] one-hot matmul, uniform point on the
+     triangle, exact solid-angle pdf, full demodulated BSDF target
+     (Lambertian + GGX), streaming reservoir update — all in VMEM,
+     RNG = counter-based pcg4d evaluated in-kernel (same stream as
+     utils/rng.py);
+  4. one packed [10, B/128, 128] output: reservoir (li, wi, dist,
+     weight, M).
+
+Layout note: per-(ray, light) matrices live as [L, B] — rays on lanes,
+lights on sublanes — because Mosaic cannot reshape/broadcast through a
+minor dim < 128 (no [B, 1] intermediates exist in this orientation).
+
+Light table row layout ([LIGHT_COLS, L]): v0(3) e1(3) e2(3) normal(3)
+radiance(3) area(1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# input channel layout ([CIN, R/128, 128])
+_IN_POS, _IN_NORM, _IN_WO = 0, 3, 6
+_IN_MTYPE, _IN_METAL, _IN_ROUGH, _IN_SHADE = 9, 10, 11, 12
+CIN = 13
+# output channel layout ([COUT, R/128, 128])
+COUT = 10  # li(3) wi(3) dist(1) weight(1) m(1) pad(1)
+
+LIGHT_COLS = 16
+_PI = 3.14159265358979
+_INV_PI = 1.0 / _PI
+
+_LAMBERTIAN, _METALLIC = 0.0, 1.0
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _pcg4d(a, b, c, d):
+    k1 = jnp.uint32(1664525)
+    k2 = jnp.uint32(1013904223)
+    vx = _u32(a) * k1 + k2
+    vy = _u32(b) * k1 + k2
+    vz = _u32(c) * k1 + k2
+    vw = _u32(d) * k1 + k2
+    vx = vx + vy * vw
+    vy = vy + vz * vx
+    vz = vz + vx * vy
+    vw = vw + vy * vz
+    vx = vx ^ (vx >> 16)
+    vy = vy ^ (vy >> 16)
+    vz = vz ^ (vz >> 16)
+    vw = vw ^ (vw >> 16)
+    vx = vx + vy * vw
+    vy = vy + vz * vx
+    vz = vz + vx * vy
+    vw = vw + vy * vz
+    return vx, vy, vz, vw
+
+
+def _unit(bits):
+    # top 24 bits; route through int32 (Mosaic lacks a u32->f32 cast)
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _eval_bsdf_lum(mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
+                   wix, wiy, wiz):
+    """Luminance of the demodulated BSDF (baseColor = 1): lambert + GGX
+    metallic workflow, dielectric -> 0 (delta). Mirrors ops/bsdf."""
+    cos_o = _dot3(nx, ny, nz, wox, woy, woz)
+    cos_i = _dot3(nx, ny, nz, wix, wiy, wiz)
+
+    lam = jnp.full_like(cos_o, _INV_PI)
+
+    hx, hy, hz = wox + wix, woy + wiy, woz + wiz
+    hl = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+    hx, hy, hz = hx * hl, hy * hl, hz * hl
+    alpha = roughness * roughness
+    cos_h = _dot3(nx, ny, nz, hx, hy, hz)
+    hdoto = _dot3(hx, hy, hz, wox, woy, woz)
+
+    aa = alpha * alpha
+    denom = cos_h * cos_h * (aa - 1.0) + 1.0
+    d_ggx = jnp.where(
+        cos_h < 1e-6, 0.0, aa / jnp.maximum(denom * denom * _PI, 1e-20)
+    )
+    a_half = alpha * 0.5
+
+    def schlick_g(c):
+        c = jnp.abs(c)
+        return c / jnp.maximum(c * (1.0 - a_half) + a_half, 1e-20)
+
+    g = schlick_g(cos_o) * schlick_g(cos_i)
+    f0 = 0.08 * (1.0 - metallic) + metallic
+    one_m = 1.0 - jnp.clip(hdoto, 0.0, 1.0)
+    p5 = one_m * one_m
+    p5 = p5 * p5 * one_m
+    fr = f0 + (1.0 - f0) * p5
+    spec = g * d_ggx / jnp.maximum(4.0 * cos_i * cos_o, 1e-20)
+    diffuse = _INV_PI * (1.0 - metallic)
+    met = diffuse * (1.0 - fr) + spec * fr
+    met = jnp.where(cos_i * cos_o >= 1e-7, met, 0.0)
+
+    return jnp.where(
+        mtype == _LAMBERTIAN, lam, jnp.where(mtype == _METALLIC, met, 0.0)
+    )
+
+
+def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
+                tri_lo_ref, light_ref, looper_ref, out_ref,
+                *, l_pad: int, k: int, single_sided: bool, ctr_base: int):
+    cg = in_ref.shape[1]  # tile/128
+    b = cg * 128
+
+    def ch(i):
+        return in_ref[i, :, :].reshape(b)
+
+    px, py, pz = ch(_IN_POS), ch(_IN_POS + 1), ch(_IN_POS + 2)
+    nx, ny, nz = ch(_IN_NORM), ch(_IN_NORM + 1), ch(_IN_NORM + 2)
+    wox, woy, woz = ch(_IN_WO), ch(_IN_WO + 1), ch(_IN_WO + 2)
+    mtype = ch(_IN_MTYPE)
+    metallic = ch(_IN_METAL)
+    roughness = ch(_IN_ROUGH)
+    shade = ch(_IN_SHADE) > 0.5
+    tile_id = pl.program_id(0)
+    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    looper = looper_ref[0]
+
+    # ---- bilinear target weights over all lights (MXU), [L, B]
+    ndx = _dot3(nx, ny, nz, px, py, pz)
+    ones_b = jnp.ones_like(px)
+    phi_a = jnp.stack([nx, ny, nz, -ndx], axis=0)  # [4, B]
+    a = jnp.dot(psi_a_ref[:, :], phi_a, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    phi_b = jnp.stack([px, py, pz, ones_b], axis=0)
+    bb = jnp.dot(psi_b_ref[:, :], phi_b, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    x2 = px * px + py * py + pz * pz
+    phi_c = jnp.stack([-2.0 * px, -2.0 * py, -2.0 * pz, ones_b, x2], axis=0)
+    d2 = jnp.maximum(
+        jnp.dot(psi_c_ref[:, :], phi_c, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), 1e-8
+    )
+    side = bb > 0.0 if single_sided else jnp.abs(bb) > 0.0
+    t = jnp.where(
+        (a > 0.0) & side, lumarea_ref[:, :] * a * jnp.abs(bb) / (d2 * d2), 0.0
+    )  # [L, B]
+
+    # ---- CDF via lower-triangular matmul: cdf_l = sum_{l' <= l} T_l'
+    cdf = jnp.dot(tri_lo_ref[:, :], t, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    total = cdf[l_pad - 1, :]  # [B]
+    has_any = total > 0.0
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (l_pad, b), 0)
+
+    # ---- K candidate draws + streaming reservoir (all [B] registers)
+    zero = jnp.zeros_like(px)
+    r_li_x, r_li_y, r_li_z = zero, zero, zero
+    r_wi_x, r_wi_y, r_wi_z = zero, zero, zero
+    r_dist = zero
+    r_weight = zero
+
+    for kk in range(k):
+        u1, u2, u3, u4 = _pcg4d(
+            pix, jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), ctr_base + kk, jnp.uint32),
+            jnp.full((b,), 0x02, jnp.uint32),
+        )
+        r1, r2, r3, r4 = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
+
+        thresh = r1 * total
+        below = (cdf <= thresh[None, :]).astype(jnp.int32)
+        idx = jnp.minimum(jnp.sum(below, axis=0), l_pad - 1)  # [B]
+        onehot = row_ids == idx[None, :]  # [L, B]
+        q = jnp.sum(jnp.where(onehot, t, 0.0), axis=0) / jnp.maximum(total, 1e-20)
+        fetch = jnp.dot(
+            light_ref[:, :], onehot.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [LIGHT_COLS, B]
+
+        # uniform point on the triangle (mathUtil.h:94 sqrt warp, same
+        # (ru, rv) = (r2, r3) convention as utils.math.sample_triangle_uniform)
+        sr = jnp.sqrt(jnp.maximum(r3, 0.0))
+        bu = 1.0 - sr
+        bv = r2 * sr
+        sx = fetch[0] + bu * fetch[3] + bv * fetch[6]
+        sy = fetch[1] + bu * fetch[4] + bv * fetch[7]
+        sz = fetch[2] + bu * fetch[5] + bv * fetch[8]
+        lnx, lny, lnz = fetch[9], fetch[10], fetch[11]
+        li_x, li_y, li_z = fetch[12], fetch[13], fetch[14]
+        area = fetch[15]
+
+        tox, toy, toz = sx - px, sy - py, sz - pz
+        dist2 = jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-20)
+        inv_dist = jax.lax.rsqrt(dist2)
+        dist = dist2 * inv_dist
+        wix, wiy, wiz = tox * inv_dist, toy * inv_dist, toz * inv_dist
+
+        cos_l = _dot3(lnx, lny, lnz, wix, wiy, wiz)
+        pdf = q * dist2 / jnp.maximum(area * jnp.abs(cos_l), 1e-20)
+        if single_sided:
+            pdf = jnp.where(cos_l <= -1e-6, pdf, -1.0)
+        pdf = jnp.where(has_any & (q > 0.0), pdf, -1.0)
+
+        f_lum = _eval_bsdf_lum(
+            mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
+            wix, wiy, wiz,
+        )
+        li_lum = 0.2126 * li_x + 0.7152 * li_y + 0.0722 * li_z
+        cos_s = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0)
+        p_hat = li_lum * f_lum * cos_s
+        w = p_hat / pdf
+        bad = jnp.isnan(w) | jnp.isinf(w) | (pdf <= 0.0)
+        w = jnp.where(bad | ~shade, 0.0, w)
+
+        r_weight_new = r_weight + w
+        take = shade & (r4 * r_weight_new < w)
+        r_li_x = jnp.where(take, li_x, r_li_x)
+        r_li_y = jnp.where(take, li_y, r_li_y)
+        r_li_z = jnp.where(take, li_z, r_li_z)
+        r_wi_x = jnp.where(take, wix, r_wi_x)
+        r_wi_y = jnp.where(take, wiy, r_wi_y)
+        r_wi_z = jnp.where(take, wiz, r_wi_z)
+        r_dist = jnp.where(take, dist, r_dist)
+        r_weight = jnp.where(shade, r_weight_new, r_weight)
+
+    m_count = jnp.where(shade, float(k), 0.0)
+
+    def put(i, val):
+        out_ref[i, :, :] = val.reshape(cg, 128)
+
+    put(0, r_li_x)
+    put(1, r_li_y)
+    put(2, r_li_z)
+    put(3, r_wi_x)
+    put(4, r_wi_y)
+    put(5, r_wi_z)
+    put(6, r_dist)
+    put(7, r_weight)
+    put(8, m_count)
+    put(9, jnp.zeros_like(r_weight))
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "single_sided", "ctr_base", "tile", "interpret")
+)
+def ris_cdf_pallas(
+    pos, norm, wo, mtype, metallic, roughness, shade, looper,
+    light_verts, light_normal, light_radiance, light_area, light_center,
+    k: int = 4, single_sided: bool = True, ctr_base: int = 8,
+    tile: int = 1024, interpret: bool = False,
+):
+    """Fused candidate stage. Returns a reservoir SoA tuple
+    (li [R,3], wi [R,3], dist [R], weight [R], m [R] int32)."""
+    r = pos.shape[0]
+    nl = light_verts.shape[0]
+    l_pad = _round_up(max(nl, 128), 128)
+
+    def padl(x, fill=0.0):
+        if x.shape[0] == l_pad:
+            return x.astype(jnp.float32)
+        pad = jnp.full((l_pad - x.shape[0],) + x.shape[1:], fill, jnp.float32)
+        return jnp.concatenate([x.astype(jnp.float32), pad])
+
+    lv = padl(light_verts.reshape(nl, 9))
+    ln = padl(light_normal)
+    lr = padl(light_radiance)
+    la = padl(light_area)
+    lc = padl(light_center)
+
+    light_table = jnp.concatenate(
+        [
+            lv[:, 0:3],
+            lv[:, 3:6] - lv[:, 0:3],
+            lv[:, 6:9] - lv[:, 0:3],
+            ln,
+            lr,
+            la[:, None],
+        ],
+        axis=1,
+    ).T  # [LIGHT_COLS, L_pad]
+
+    psi_a = jnp.concatenate([lc, jnp.ones((l_pad, 1))], axis=1)  # [L, 4]
+    psi_b = jnp.concatenate([ln, -jnp.sum(ln * lc, axis=-1, keepdims=True)], axis=1)
+    c2 = jnp.sum(lc * lc, axis=-1, keepdims=True)
+    # phi_c rows are (-2px, -2py, -2pz, 1, |x|^2); psi columns must be
+    # (cx, cy, cz, |c|^2, 1) so that the product is |x|^2 - 2 x.c + |c|^2
+    psi_c = jnp.concatenate([lc, c2, jnp.ones((l_pad, 1))], axis=1)
+    lum = 0.2126 * lr[:, 0] + 0.7152 * lr[:, 1] + 0.0722 * lr[:, 2]
+    lum_area = (lum * la)[:, None]  # [L, 1] — zero rows for padding
+
+    tri_lo = jnp.tril(jnp.ones((l_pad, l_pad), jnp.float32))
+
+    r_pad = _round_up(r, tile)
+
+    def padr(x, fill=0.0):
+        if x.shape[0] == r_pad:
+            return x
+        pad = jnp.full((r_pad - x.shape[0],) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    g = r_pad // 128
+    chans = jnp.stack(
+        [
+            padr(pos[:, 0]), padr(pos[:, 1]), padr(pos[:, 2]),
+            padr(norm[:, 0]), padr(norm[:, 1]), padr(norm[:, 2]),
+            padr(wo[:, 0]), padr(wo[:, 1]), padr(wo[:, 2]),
+            padr(mtype.astype(jnp.float32)),
+            padr(metallic), padr(roughness),
+            padr(shade.astype(jnp.float32)),
+        ]
+    ).reshape(CIN, g, 128)
+
+    kernel = functools.partial(
+        _ris_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
+        ctr_base=ctr_base,
+    )
+    tg = tile // 128
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((CIN, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, l_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (LIGHT_COLS, l_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (COUT, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((COUT, g, 128), jnp.float32),
+        interpret=interpret,
+    )(chans, psi_a, psi_b, psi_c, lum_area, tri_lo, light_table,
+      jnp.asarray([looper], jnp.uint32))
+
+    ch = out.reshape(COUT, r_pad)[:, :r]
+    li = ch[0:3].T
+    wi = ch[3:6].T
+    dist = ch[6]
+    weight = ch[7]
+    m = ch[8].astype(jnp.int32)
+    return li, wi, dist, weight, m

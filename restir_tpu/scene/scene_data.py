@@ -88,6 +88,9 @@ class SceneData(NamedTuple):
     bvh_miss: jnp.ndarray  # [6B] int32
     # MXU brute-force intersector: per-tri affine transforms [4, 3N]
     tri_xform: jnp.ndarray
+    # packed rows for the fused primary-hit pallas kernel
+    prim_attr: jnp.ndarray  # [N, ATTR_COLS]
+    mat_attr: jnp.ndarray  # [M, MAT_COLS]
     # materials, [M]
     mat_type: jnp.ndarray  # [M] int32
     mat_base_color: jnp.ndarray  # [M, 3]
@@ -101,6 +104,11 @@ class SceneData(NamedTuple):
     # lights, [L] emissive prims; alias table over [L (+1 env)] entries
     light_prim_ids: jnp.ndarray  # [L] int32
     light_radiance: jnp.ndarray  # [L, 3]
+    # packed light geometry for the MXU CDF sampler (ops/lights.py)
+    light_verts: jnp.ndarray  # [L, 3, 3]
+    light_normal: jnp.ndarray  # [L, 3] (area-weighted triangle normal)
+    light_area: jnp.ndarray  # [L]
+    light_center: jnp.ndarray  # [L, 3]
     light_prob: jnp.ndarray  # [Ls]
     light_alias: jnp.ndarray  # [Ls] int32
     sum_light_power_inv: jnp.ndarray  # scalar
@@ -262,8 +270,21 @@ def build_scene(
     # --- acceleration structures (stackless MTBVH + MXU brute-force)
     bvh = build_bvh(verts.reshape(-1, 3), impl=bvh_impl)
     from ..ops.intersect_bf import build_tri_transforms
+    from ..ops.pallas.intersect_kernel import build_mat_attr, build_prim_attr
 
     tri_xform = build_tri_transforms(verts.reshape(-1, 3))
+    prim_attr = build_prim_attr(verts, norms, uvs, mat_ids)
+    mat_attr = build_mat_attr(
+        [m.type for m in materials],
+        [m.base_color for m in materials],
+        [m.metallic for m in materials],
+        [m.roughness for m in materials],
+        [m.ior for m in materials],
+        [m.base_map for m in materials],
+        [m.metallic_map for m in materials],
+        [m.roughness_map for m in materials],
+        [m.normal_map for m in materials],
+    )
 
     # --- materials SoA
     mat_arr = lambda f, dt: jnp.asarray(  # noqa: E731
@@ -298,6 +319,14 @@ def build_scene(
         lp = np.zeros(1, np.int32)
         lr = np.zeros((1, 3), np.float32)
 
+    lverts = verts[lp]  # [L, 3, 3]
+    le1 = lverts[:, 1] - lverts[:, 0]
+    le2 = lverts[:, 2] - lverts[:, 0]
+    lcross = np.cross(le1, le2)
+    larea = np.linalg.norm(lcross, axis=-1) * 0.5
+    lnormal = lcross / np.maximum(np.linalg.norm(lcross, axis=-1, keepdims=True), 1e-20)
+    lcenter = lverts.mean(axis=1)
+
     return SceneData(
         verts=jnp.asarray(verts),
         norms=jnp.asarray(norms),
@@ -309,6 +338,8 @@ def build_scene(
         bvh_box=jnp.asarray(bvh.box_id.reshape(-1)),
         bvh_miss=jnp.asarray(bvh.miss.reshape(-1)),
         tri_xform=jnp.asarray(tri_xform),
+        prim_attr=jnp.asarray(prim_attr),
+        mat_attr=jnp.asarray(mat_attr),
         mat_type=mat_arr(lambda m: m.type, np.int32),
         mat_base_color=mat_arr(lambda m: m.base_color, np.float32),
         mat_metallic=mat_arr(lambda m: m.metallic, np.float32),
@@ -320,6 +351,10 @@ def build_scene(
         mat_normal_map=mat_arr(lambda m: m.normal_map, np.int32),
         light_prim_ids=jnp.asarray(lp),
         light_radiance=jnp.asarray(lr),
+        light_verts=jnp.asarray(lverts),
+        light_normal=jnp.asarray(lnormal.astype(np.float32)),
+        light_area=jnp.asarray(larea.astype(np.float32)),
+        light_center=jnp.asarray(lcenter.astype(np.float32)),
         light_prob=light_table.prob,
         light_alias=light_table.fail_id,
         sum_light_power_inv=jnp.float32(sum_power_inv),

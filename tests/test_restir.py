@@ -64,7 +64,7 @@ def test_spatiotemporal_lower_variance_than_ris():
     cam = make_camera(**camkw)
     base = RenderConfig(
         width=W, height=H, tracer=TracerType.RESTIR_DI, accumulate=False,
-        ris_candidates=8,
+        ris_candidates=8, ris_mode="reference",
     )
     ref_cfg = base.replace(accumulate=True, tracer=TracerType.PT_DIRECT)
     _, ref = renderer.render(scene, cam, ref_cfg, 400)
@@ -82,6 +82,14 @@ def test_spatiotemporal_lower_variance_than_ris():
     assert err_st < err_none * 0.8, (err_st, err_none)
     # temporal reuse must actually be accumulating history
     assert np.asarray(st_state.dir_reservoir.m).mean() > 2 * 8
+
+    # the TPU-native CDF candidate stage must beat the reference's
+    # power-proportional RIS at equal (small) candidate budget
+    cdf_cfg = base.replace(ris_mode="cdf", cdf_candidates=4,
+                           reuse=ReuseMode.NONE)
+    state, frame = renderer.render(scene, cam, cdf_cfg, 12)
+    err_cdf = np.sqrt(np.median(((np.asarray(frame) - ref) ** 2).mean(-1)[mask]))
+    assert err_cdf < err_none, (err_cdf, err_none)
 
 
 def test_no_nan_poisoning(scene_cam):

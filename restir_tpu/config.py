@@ -84,6 +84,11 @@ class RenderConfig:
     with_textures: bool = False
     single_sided_lights: bool = True  # SCENE_LIGHT_SINGLE_SIDED
 
+    # sampler for the path-tracer draws: "pcg4d" (counter hash, default)
+    # or "sobol" (Owen-scrambled, SAMPLER_USE_SOBOL equivalent). The
+    # fused ReSTIR kernels always use pcg4d.
+    sampler: str = "pcg4d"
+
     # frame behavior
     accumulate: bool = True
     # Sub-pixel AA jitter on the (shared) primary ray. The reference

@@ -40,7 +40,7 @@ def _primary_setup(scene, cam: Camera, cfg: RenderConfig, looper, salt):
     trv = traversal_arrays(scene, cfg.intersector)
     x, y = pixel_centers(cfg.width, cfg.height)
     pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
-    r1, r2, _, _ = rngmod.uniform4(pix, looper, 0, salt)
+    r1, r2, _, _ = rngmod.draw4(cfg.sampler, pix, looper, 0, salt)
     o, d = sample_rays(cam, cfg.width, cfg.height, x, y, r1, r2)
     it, mat, hit = trace_primary(scene, trv, o, d, cfg.with_textures)
     return trv, pix, o, d, hit, it, mat
@@ -69,7 +69,7 @@ def pt_direct(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
         (~delta & (mathx.dot(it.norm, wo) < 0))[..., None], -it.norm, it.norm
     )
 
-    l1, l2, l3, l4 = rngmod.uniform4(pix, looper, 1, rngmod.SALT_PT)
+    l1, l2, l3, l4 = rngmod.draw4(cfg.sampler, pix, looper, 1, rngmod.SALT_PT)
     shade = it.valid & ~is_light & ~delta
     ls = light_ops.sample_direct_light(
         scene, trv, it.pos, l1, l2, l3, l4,
@@ -126,7 +126,7 @@ def pt_trace(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
 
         # --- NEE (pathtrace.cu:202-212)
         ctr = 1 + (depth - 1) * 2
-        l1, l2, l3, l4 = rngmod.uniform4(pix, looper, ctr, rngmod.SALT_PT)
+        l1, l2, l3, l4 = rngmod.draw4(cfg.sampler, pix, looper, ctr, rngmod.SALT_PT)
         shade = alive & ~delta_bsdf
         ls = light_ops.sample_direct_light(
             scene, trv, pos, l1, l2, l3, l4,
@@ -149,7 +149,7 @@ def pt_trace(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
             indirect = indirect + nee
 
         # --- BSDF bounce (pathtrace.cu:214-263)
-        b1, b2, b3, _ = rngmod.uniform4(pix, looper, ctr + 1, rngmod.SALT_PT)
+        b1, b2, b3, _ = rngmod.draw4(cfg.sampler, pix, looper, ctr + 1, rngmod.SALT_PT)
         bs = bsdf_ops.sample_bsdf(mat, norm, wo, (b1, b2, b3))
         ok = alive & ~bsdf_ops.is_invalid(bs.type) & (bs.pdf >= 1e-8)
         delta_sample = bsdf_ops.is_delta(bs.type)

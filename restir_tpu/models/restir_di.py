@@ -158,7 +158,7 @@ def resolve_ris_mode(cfg: RenderConfig) -> str:
     return "reference" if cfg.has_env_map else "cdf"
 
 
-def _ris_cdf(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
+def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, looper):
     """TPU-native candidate stage: K draws from the exact per-pixel
     light CDF (see ops/lights.sample_light_cdf), streamed into the
     reservoir with exact pdfs. K=cdf_candidates (default 4) achieves the
@@ -173,11 +173,13 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
     if _on_tpu():
         from ..ops.pallas.ris_kernel import ris_cdf_pallas
 
+        # NOTE: the kernel also runs the winner-visibility pass in-place
+        # (weights of occluded winners come back zeroed)
         li, wi, dist, weight, m = ris_cdf_pallas(
             pos, norm, wo, dmat.type, dmat.metallic, dmat.roughness, shade,
-            looper,
+            prim_id, looper,
             scene.light_verts, scene.light_normal, scene.light_radiance,
-            scene.light_area, scene.light_center,
+            scene.light_area, scene.light_center, scene.tri_xform,
             k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
             ctr_base=_CTR_RIS,
         )
@@ -185,7 +187,7 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
             sample=rsv.DirectSample(li=li, wi=wi, dist=dist),
             weight=weight,
             m=m,
-        )
+        ), True
 
     R = cfg.num_pixels
     chunk = min(_RIS_CHUNK, R)
@@ -225,7 +227,8 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
         return res
 
     res = jax.lax.map(per_chunk, inputs)
-    return jax.tree.map(lambda x: x.reshape((c * chunk,) + x.shape[2:])[:R], res)
+    res = jax.tree.map(lambda x: x.reshape((c * chunk,) + x.shape[2:])[:R], res)
+    return res, False
 
 
 def _ris_chunked(scene, pos, dmat, norm, wo, shade, cfg: RenderConfig, looper):
@@ -316,14 +319,19 @@ def restir_direct(
     # rays in VMEM-sized chunks (lax.map) instead; the cdf mode needs
     # only K=4 MXU-friendly passes.
     if resolve_ris_mode(cfg) == "cdf":
-        res = _ris_cdf(scene, it.pos, dmat, norm, wo, shade, cfg, looper)
+        res, vis_done = _ris_cdf(
+            scene, it.pos, dmat, norm, wo, shade, it.prim_id, cfg, looper
+        )
     else:
         res = _ris_chunked(scene, it.pos, dmat, norm, wo, shade, cfg, looper)
+        vis_done = False
 
     # ---- 2. winner visibility: occluded => weight 0 (restir.cu:172-176)
-    target = it.pos + res.sample.wi * res.sample.dist[..., None]
-    occluded = ix.test_occlusion(trv, it.pos, target, active=shade)
-    res = res._replace(weight=jnp.where(occluded, 0.0, res.weight))
+    # (the pallas cdf kernel already ran this in-register)
+    if not vis_done:
+        target = it.pos + res.sample.wi * res.sample.dist[..., None]
+        occluded = ix.test_occlusion(trv, it.pos, target, active=shade)
+        res = res._replace(weight=jnp.where(occluded, 0.0, res.weight))
 
     # ---- 3. temporal reuse (restir.cu:180-185)
     if cfg.reuse & ReuseMode.TEMPORAL:
@@ -346,13 +354,17 @@ def restir_direct(
         )
         res = rsv.merge(res, agg, r_s, active=ok)
 
-    # ---- 5. shade (restir.cu:216-226)
-    li_f = res.sample.li * bsdf_ops.eval_bsdf(dmat, norm, wo, res.sample.wi)
-    scalar = mathx.luminance(li_f)
+    # ---- 5. shade (restir.cu:216-226). With the demodulated material
+    # (baseColor = 1) the BSDF is GRAY, so f cancels out of the
+    # reference's Li*f/lum(Li*f) ratio: direct = Li/lum(Li) * W/M. Only
+    # the f > 0 support mask still needs the (scalar) BSDF luminance.
+    f_lum = bsdf_ops.eval_bsdf_lum(dmat, norm, wo, res.sample.wi)
+    li_lum = mathx.luminance(res.sample.li)
     w_big = res.weight / jnp.maximum(res.m.astype(jnp.float32), 1.0)
-    direct = li_f / jnp.maximum(scalar, 1e-20)[..., None] * w_big[..., None]
+    direct = res.sample.li / jnp.maximum(li_lum, 1e-20)[..., None] * w_big[..., None]
     direct = jnp.where(
-        (shade & ~rsv.invalid(res) & (scalar > 0))[..., None], direct, 0.0
+        (shade & ~rsv.invalid(res) & (f_lum > 0) & (li_lum > 0))[..., None],
+        direct, 0.0,
     )
     direct = mathx.zero_nan_or_inf(direct)
 

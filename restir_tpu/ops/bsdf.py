@@ -178,6 +178,14 @@ def eval_bsdf(mat: SurfaceMaterial, n, wo, wi):
     )
 
 
+def eval_bsdf_lum(mat: SurfaceMaterial, n, wo, wi):
+    """Luminance of f(wo, wi). For the demodulated material
+    (baseColor = 1) every lobe is gray, so this single scalar channel IS
+    the BSDF — used by ReSTIR shading where the gray f cancels out of
+    Li*f/lum(Li*f) and only the support mask needs f."""
+    return mathx.luminance(eval_bsdf(mat, n, wo, wi))
+
+
 def pdf_bsdf(mat: SurfaceMaterial, n, wo, wi):
     """Material::pdf (material.h:230-240)."""
     lam = _lambertian_pdf(mat, n, wo, wi)

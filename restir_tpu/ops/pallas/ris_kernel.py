@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 # input channel layout ([CIN, R/128, 128])
 _IN_POS, _IN_NORM, _IN_WO = 0, 3, 6
-_IN_MTYPE, _IN_METAL, _IN_ROUGH, _IN_SHADE = 9, 10, 11, 12
-CIN = 13
+_IN_MTYPE, _IN_METAL, _IN_ROUGH, _IN_SHADE, _IN_PRIM = 9, 10, 11, 12, 13
+CIN = 14
 # output channel layout ([COUT, R/128, 128])
 COUT = 10  # li(3) wi(3) dist(1) weight(1) m(1) pad(1)
 
@@ -128,8 +128,9 @@ def _eval_bsdf_lum(mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
 
 
 def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
-                tri_lo_ref, light_ref, looper_ref, out_ref,
-                *, l_pad: int, k: int, single_sided: bool, ctr_base: int):
+                tri_lo_ref, light_ref, xu_ref, xv_ref, xw_ref, looper_ref,
+                out_ref, *, l_pad: int, k: int, single_sided: bool,
+                ctr_base: int, n_pad: int, nb: int):
     cg = in_ref.shape[1]  # tile/128
     b = cg * 128
 
@@ -249,6 +250,58 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
 
     m_count = jnp.where(shade, float(k), 0.0)
 
+    # ---- winner visibility in-kernel (restir.cu:172-176): brute-force
+    # any-hit over triangle blocks; occluded => weight 0. The origin
+    # primitive is excluded by id, so DEFAULT matmul precision suffices
+    # at the near end; the far end uses a relative distance margin.
+    prim_origin = ch(_IN_PRIM).astype(jnp.int32)
+    ox = px + r_wi_x * 1e-5
+    oy = py + r_wi_y * 1e-5
+    oz = pz + r_wi_z * 1e-5
+    limit = r_dist * (1.0 - 1e-3) - 1e-4
+    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)  # [4, B]
+    dh4 = jnp.stack([r_wi_x, r_wi_y, r_wi_z, jnp.zeros_like(ox)], axis=0)
+
+    n_blocks = n_pad // nb
+
+    def vis_body(i, occluded):
+        col = pl.multiple_of(i * nb, nb)
+        xu = xu_ref[:, pl.ds(col, nb)]  # [4, nb]
+        xv = xv_ref[:, pl.ds(col, nb)]
+        xw = xw_ref[:, pl.ds(col, nb)]
+        # [nb, B] hit matrices: triangles on sublanes, rays on lanes
+        oou = jnp.dot(xu.T, oh4, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        oov = jnp.dot(xv.T, oh4, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        oow = jnp.dot(xw.T, oh4, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        ddu = jnp.dot(xu.T, dh4, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        ddv = jnp.dot(xv.T, dh4, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        ddw = jnp.dot(xw.T, dh4, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        nondeg = jnp.abs(ddw) >= 1e-12
+        tt = -oow / jnp.where(nondeg, ddw, 1.0)
+        uu = oou + tt * ddu
+        vv = oov + tt * ddv
+        tri_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0) + i * nb
+        blocked = (
+            nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt < limit[None, :])
+            & (tri_ids != prim_origin[None, :])
+        )
+        # f32 carry: Mosaic cannot thread 1-D i1 vectors through scf.for
+        return jnp.maximum(
+            occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
+        )
+
+    occluded = jax.lax.fori_loop(
+        0, n_blocks, vis_body, jnp.zeros_like(r_weight)
+    )
+    r_weight = jnp.where(occluded > 0.5, 0.0, r_weight)
+
     def put(i, val):
         out_ref[i, :, :] = val.reshape(cg, 128)
 
@@ -269,16 +322,18 @@ def _round_up(x, m):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "single_sided", "ctr_base", "tile", "interpret")
+    jax.jit, static_argnames=("k", "single_sided", "ctr_base", "tile", "nb", "interpret")
 )
 def ris_cdf_pallas(
-    pos, norm, wo, mtype, metallic, roughness, shade, looper,
+    pos, norm, wo, mtype, metallic, roughness, shade, prim_id, looper,
     light_verts, light_normal, light_radiance, light_area, light_center,
+    tri_xform,
     k: int = 4, single_sided: bool = True, ctr_base: int = 8,
-    tile: int = 1024, interpret: bool = False,
+    tile: int = 1024, nb: int = 128, interpret: bool = False,
 ):
-    """Fused candidate stage. Returns a reservoir SoA tuple
-    (li [R,3], wi [R,3], dist [R], weight [R], m [R] int32)."""
+    """Fused candidate stage + winner visibility. Returns a reservoir
+    SoA tuple (li [R,3], wi [R,3], dist [R], weight [R], m [R] int32)
+    with occluded winners' weights already zeroed."""
     r = pos.shape[0]
     nl = light_verts.shape[0]
     l_pad = _round_up(max(nl, 128), 128)
@@ -335,12 +390,20 @@ def ris_cdf_pallas(
             padr(mtype.astype(jnp.float32)),
             padr(metallic), padr(roughness),
             padr(shade.astype(jnp.float32)),
+            padr(prim_id.astype(jnp.float32), fill=-1.0),
         ]
     ).reshape(CIN, g, 128)
 
+    n_tri = tri_xform.shape[1] // 3
+    nb = min(nb, _round_up(n_tri, 128))
+    n_pad = _round_up(max(n_tri, nb), nb)
+    from .intersect_kernel import _split_planes
+
+    xu, xv, xw = _split_planes(tri_xform, n_pad)
+
     kernel = functools.partial(
         _ris_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
-        ctr_base=ctr_base,
+        ctr_base=ctr_base, n_pad=n_pad, nb=nb,
     )
     tg = tile // 128
     out = pl.pallas_call(
@@ -356,6 +419,9 @@ def ris_cdf_pallas(
             pl.BlockSpec(
                 (LIGHT_COLS, l_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((4, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -364,7 +430,7 @@ def ris_cdf_pallas(
         out_shape=jax.ShapeDtypeStruct((COUT, g, 128), jnp.float32),
         interpret=interpret,
     )(chans, psi_a, psi_b, psi_c, lum_area, tri_lo, light_table,
-      jnp.asarray([looper], jnp.uint32))
+      xu, xv, xw, jnp.asarray([looper], jnp.uint32))
 
     ch = out.reshape(COUT, r_pad)[:, :r]
     li = ch[0:3].T

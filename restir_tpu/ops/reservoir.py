@@ -61,9 +61,14 @@ def zeros_direct(r: int) -> Reservoir:
 
 
 def zeros_indirect(r: int) -> Reservoir:
-    z3 = jnp.zeros((r, 3))
+    # NOTE: leaves must be DISTINCT buffers — the render state is donated
+    # by step_jit, and donating one buffer aliased by several leaves is a
+    # runtime error ("f(donate(a), a)").
+    def z3():
+        return jnp.zeros((r, 3))
+
     return Reservoir(
-        sample=IndirectSample(lo=z3, xv=z3, nv=z3, xs=z3, ns=z3),
+        sample=IndirectSample(lo=z3(), xv=z3(), nv=z3(), xs=z3(), ns=z3()),
         weight=jnp.zeros((r,)),
         m=jnp.zeros((r,), jnp.int32),
     )

@@ -48,6 +48,9 @@ class RenderState(NamedTuple):
 
 def init_state(cfg: RenderConfig, cam: Camera) -> RenderState:
     r = cfg.num_pixels
+    # copy the camera leaves: the state is donated by step_jit, so it
+    # must not alias the caller's camera buffers
+    cam = jax.tree.map(lambda x: jnp.array(x, copy=True), cam)
     return RenderState(
         looper=jnp.uint32(0),
         iteration=jnp.int32(0),
@@ -164,8 +167,11 @@ def step(
     return next_state, frame
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def step_jit(scene, state, cam, cfg: RenderConfig):
+    """The jitted frame step. The state argument is DONATED: its buffers
+    are reused for the next state (halves renderer HBM residency). Keep
+    a checkpoint (save_checkpoint) if the previous state is needed."""
     return step(scene, state, cam, cfg)
 
 

@@ -166,6 +166,154 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return v, n.reshape(-1, 3), uv
 
 
+def load_gltf(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Minimal glTF 2.0 mesh loader -> (verts[3n,3], norms[3n,3], uvs[3n,2]).
+
+    Reads .gltf (JSON + external .bin) and .glb containers; extracts
+    POSITION/NORMAL/TEXCOORD_0 + indices of every triangle primitive,
+    applying node transforms. The reference links tiny_gltf but its
+    loadGLTFMesh is a stub with no body (scene.cpp:57-63) — this one
+    actually works.
+    """
+    import base64
+    import json as jsonlib
+    import struct
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+    if path.lower().endswith(".glb"):
+        with open(path, "rb") as f:
+            data = f.read()
+        magic, _version, _length = struct.unpack_from("<III", data, 0)
+        if magic != 0x46546C67:
+            raise ValueError("not a GLB file")
+        off = 12
+        gltf = None
+        buffers_bin = None
+        while off < len(data):
+            clen, ctype = struct.unpack_from("<II", data, off)
+            chunk = data[off + 8 : off + 8 + clen]
+            if ctype == 0x4E4F534A:  # JSON
+                gltf = jsonlib.loads(chunk)
+            elif ctype == 0x004E4942:  # BIN
+                buffers_bin = chunk
+            off += 8 + clen + (-clen % 4)
+        buffers = [buffers_bin]
+    else:
+        with open(path) as f:
+            gltf = jsonlib.load(f)
+        buffers = []
+        for buf in gltf.get("buffers", []):
+            uri = buf["uri"]
+            if uri.startswith("data:"):
+                buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                with open(os.path.join(base_dir, uri), "rb") as f:
+                    buffers.append(f.read())
+
+    comp_fmt = {5120: "b", 5121: "B", 5122: "h", 5123: "H", 5125: "I", 5126: "f"}
+    comp_size = {5120: 1, 5121: 1, 5122: 2, 5123: 2, 5125: 4, 5126: 4}
+    type_count = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
+
+    def read_accessor(idx):
+        acc = gltf["accessors"][idx]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        buf = buffers[view.get("buffer", 0)]
+        n = acc["count"]
+        ncomp = type_count[acc["type"]]
+        csize = comp_size[acc["componentType"]]
+        stride = view.get("byteStride") or ncomp * csize
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        fmt = comp_fmt[acc["componentType"]]
+        out = np.zeros((n, ncomp), np.float64)
+        for i in range(n):
+            vals = struct.unpack_from("<" + fmt * ncomp, buf, start + i * stride)
+            out[i] = vals
+        return out
+
+    def node_matrix(node):
+        if "matrix" in node:
+            return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+        m = np.eye(4)
+        if "scale" in node:
+            m = m @ np.diag([*node["scale"], 1.0])
+        if "rotation" in node:
+            qx, qy, qz, qw = node["rotation"]
+            rot = np.array([
+                [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+                [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+                [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+            ])
+            rm = np.eye(4)
+            rm[:3, :3] = rot
+            m = rm @ m
+        if "translation" in node:
+            tm = np.eye(4)
+            tm[:3, 3] = node["translation"]
+            m = tm @ m
+        return m
+
+    all_v, all_n, all_uv = [], [], []
+
+    def emit_mesh(mesh_idx, xform):
+        normal_mat = np.linalg.inv(xform[:3, :3]).T
+        for prim in gltf["meshes"][mesh_idx]["primitives"]:
+            if prim.get("mode", 4) != 4:  # triangles only
+                continue
+            attrs = prim["attributes"]
+            pos = read_accessor(attrs["POSITION"])
+            nrm = read_accessor(attrs["NORMAL"]) if "NORMAL" in attrs else None
+            uv = read_accessor(attrs["TEXCOORD_0"]) if "TEXCOORD_0" in attrs else None
+            if "indices" in prim:
+                idx = read_accessor(prim["indices"])[:, 0].astype(np.int64)
+            else:
+                idx = np.arange(pos.shape[0])
+            v = pos[idx] @ xform[:3, :3].T + xform[:3, 3]
+            all_v.append(v.astype(np.float32))
+            if nrm is not None:
+                n = nrm[idx] @ normal_mat.T
+                n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+            else:
+                tris = v.reshape(-1, 3, 3)
+                fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+                fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+                n = np.repeat(fn, 3, 0)
+            all_n.append(n.astype(np.float32))
+            all_uv.append(
+                uv[idx].astype(np.float32) if uv is not None
+                else np.zeros((len(idx), 2), np.float32)
+            )
+
+    def walk(node_idx, parent):
+        node = gltf["nodes"][node_idx]
+        m = parent @ node_matrix(node)
+        if "mesh" in node:
+            emit_mesh(node["mesh"], m)
+        for child in node.get("children", []):
+            walk(child, m)
+
+    scene_idx = gltf.get("scene", 0)
+    roots = gltf["scenes"][scene_idx]["nodes"] if "scenes" in gltf else range(
+        len(gltf.get("nodes", []))
+    )
+    for r in roots:
+        walk(r, np.eye(4))
+    if not all_v and "meshes" in gltf:  # mesh-only files without nodes
+        for mi in range(len(gltf["meshes"])):
+            emit_mesh(mi, np.eye(4))
+
+    if not all_v:
+        raise ValueError(f"no triangle primitives in {path}")
+    return np.concatenate(all_v), np.concatenate(all_n), np.concatenate(all_uv)
+
+
+def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dispatch by extension — Resource::loadModelMeshData (scene.cpp:65-72)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".gltf", ".glb"):
+        return load_gltf(path)
+    return load_obj(path)
+
+
 def _load_texture(path: str, flip: bool = True) -> np.ndarray:
     """Linear float RGB [h, w, 3]; PNG natively, else defer to stb-like
     loaders if available."""
@@ -255,7 +403,7 @@ def parse_scene_file(path: str) -> SceneFile:
             mesh_file = next_line().strip()
             key = mesh_file
             if key not in mesh_pool:
-                mesh_pool[key] = load_obj(resolve_path(mesh_file))
+                mesh_pool[key] = load_mesh(resolve_path(mesh_file))
             v, n, uv = mesh_pool[key]
 
             mat_line = next_line().split()

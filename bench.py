@@ -1,9 +1,10 @@
 """Headline benchmark: 1080p spatiotemporal ReSTIR DI fps on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.md): >= 30 fps at 1920x1080 full
-spatiotemporal ReSTIR DI on a many-light scene. The CUDA reference
-publishes no numbers, so vs_baseline is fps / 30.
+BASELINE.md measurement config 5: full spatiotemporal ReSTIR DI +
+a-trous (EAW) denoiser at 1920x1080 on a many-light scene, single chip.
+Baseline target: >= 30 fps. The CUDA reference publishes no numbers, so
+vs_baseline is fps / 30.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ def main():
     import numpy as np
 
     from restir_tpu import renderer
-    from restir_tpu.config import RenderConfig, TracerType
+    from restir_tpu.config import DenoiserType, RenderConfig, TracerType
     from restir_tpu.ops.camera import make_camera
     from restir_tpu.scene.procedural import many_light_scene
 
@@ -26,7 +27,8 @@ def main():
 
     scene, camkw = many_light_scene(n_lights=64, n_blocks=24)
     cam = make_camera(**camkw)
-    cfg = RenderConfig(width=width, height=height, tracer=TracerType.RESTIR_DI)
+    cfg = RenderConfig(width=width, height=height, tracer=TracerType.RESTIR_DI,
+                       denoiser=DenoiserType.EAW)
 
     def sync(x):
         # NOTE: block_until_ready() does not reliably wait through the
@@ -55,7 +57,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "restir_di_1080p_spatiotemporal_fps",
+                "metric": "restir_di_1080p_spatiotemporal_eaw_fps",
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 4),

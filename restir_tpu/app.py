@@ -42,11 +42,25 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--load-state", default=None, help="resume from checkpoint")
     p.add_argument("--stats-json", action="store_true",
                    help="print a machine-readable stats line")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="start the interactive browser viewer instead of "
+                        "rendering to a file")
+    p.add_argument("--dof", action="store_true",
+                   help="enable thin-lens depth of field (needs a scene "
+                        "camera with LensRadius > 0)")
+    p.add_argument("--sampler", default="pcg4d", choices=["pcg4d", "sobol"])
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (failure-detection hook)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from .config import DenoiserType, RenderConfig, ReuseMode, ToneMapping, TracerType
     from .ops import camera as cam_ops
@@ -108,9 +122,17 @@ def main(argv=None) -> int:
         denoiser=denoiser,
         tone_mapping=tonemap,
         accumulate=not args.no_accumulate,
+        enable_dof=args.dof,
+        sampler=args.sampler,
         has_env_map=has_env,
         with_textures=with_textures,
     )
+
+    if args.serve is not None:
+        from .viewer import serve
+
+        serve(scene, cfg, cam, port=args.serve)
+        return 0
 
     state = renderer.init_state(cfg, cam)
     if args.load_state:
@@ -149,7 +171,18 @@ def main(argv=None) -> int:
 
     out = args.output or f"{image_name}.png"
     img = np.asarray(renderer.frame_to_image_jit(frame, cfg))
-    write_png(out, mirror_for_save(img))
+    ext = out.lower().rsplit(".", 1)[-1]
+    if ext in ("jpg", "jpeg"):  # saveImage 'J' key path (main.cpp:121-129)
+        from PIL import Image
+
+        Image.fromarray(mirror_for_save(img)).save(out, quality=95)
+    elif ext == "pfm":  # HDR path (Image::saveHDR, image.cpp:70-82)
+        from .utils.image_io import write_pfm
+
+        write_pfm(out, mirror_for_save(
+            np.asarray(frame).reshape(cfg.height, cfg.width, 3)))
+    else:
+        write_png(out, mirror_for_save(img))
 
     if args.save_state:
         renderer.save_checkpoint(args.save_state, state)

@@ -96,6 +96,10 @@ class RenderConfig:
     # centers (gbuffer.cu:15 vs restir.cu:129); we trace the primary ray
     # once and share it, so this flag governs both consistently.
     aa_jitter: bool = True
+    # Thin-lens depth of field. The reference parses lensRadius/focalDist
+    # but zeroes the aperture sample (sceneStructs.h:78); this finishes
+    # the plumbing (camera lens_radius > 0 required to have an effect).
+    enable_dof: bool = False
 
     @property
     def num_pixels(self) -> int:

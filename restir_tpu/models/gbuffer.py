@@ -81,11 +81,13 @@ def render_gbuffer(
     pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
     if cfg.aa_jitter:
-        rx, ry, _, _ = rngmod.uniform4(pix, looper, 0, rngmod.SALT_CAMERA)
+        rx, ry, ra, rb = rngmod.uniform4(pix, looper, 0, rngmod.SALT_CAMERA)
     else:
         rx = jnp.full_like(x, 0.5)
         ry = jnp.full_like(y, 0.5)
-    o, d = sample_rays(cam, cfg.width, cfg.height, x, y, rx, ry)
+        ra = rb = jnp.full_like(x, 0.5)
+    lens = (ra, rb) if cfg.enable_dof else (None, None)
+    o, d = sample_rays(cam, cfg.width, cfg.height, x, y, rx, ry, *lens)
 
     it, mat, hit = trace_primary(scene, trv, o, d, cfg.with_textures)
 

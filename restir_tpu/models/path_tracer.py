@@ -40,8 +40,9 @@ def _primary_setup(scene, cam: Camera, cfg: RenderConfig, looper, salt):
     trv = traversal_arrays(scene, cfg.intersector)
     x, y = pixel_centers(cfg.width, cfg.height)
     pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
-    r1, r2, _, _ = rngmod.draw4(cfg.sampler, pix, looper, 0, salt)
-    o, d = sample_rays(cam, cfg.width, cfg.height, x, y, r1, r2)
+    r1, r2, r3, r4 = rngmod.draw4(cfg.sampler, pix, looper, 0, salt)
+    lens = (r3, r4) if cfg.enable_dof else (None, None)
+    o, d = sample_rays(cam, cfg.width, cfg.height, x, y, r1, r2, *lens)
     it, mat, hit = trace_primary(scene, trv, o, d, cfg.with_textures)
     return trv, pix, o, d, hit, it, mat
 

@@ -99,27 +99,46 @@ def pixel_centers(width: int, height: int):
     return xs.reshape(-1), ys.reshape(-1)
 
 
-def sample_rays(cam: Camera, width: int, height: int, x, y, rx, ry):
+def sample_rays(cam: Camera, width: int, height: int, x, y, rx, ry,
+                ra=None, rb=None):
     """Primary rays for pixels (x, y) with sub-pixel jitter (rx, ry) in
-    [0,1) — Camera::sample, sceneStructs.h:69-86. Returns (o[R,3], d[R,3])."""
+    [0,1) — Camera::sample, sceneStructs.h:69-86. Returns (o[R,3], d[R,3]).
+
+    Thin-lens depth of field: the reference parses lensRadius/focalDist
+    but zeroes the aperture sample (pAperture(0.f), sceneStructs.h:78).
+    Here passing (ra, rb) lens uniforms with lens_radius > 0 enables the
+    full thin-lens model the reference plumbed but never finished.
+    """
     aspect = width / height
     tan_fovy = _tan_fovy(cam)
     ruv_x = 1.0 - 2.0 * (x + rx) / width
     ruv_y = 1.0 - 2.0 * (y + ry) / height
 
-    # aperture disabled (pAperture = 0), matching the reference
     fx = ruv_x * aspect * tan_fovy * cam.focal_dist
     fy = ruv_y * tan_fovy * cam.focal_dist
     fz = jnp.broadcast_to(cam.focal_dist, fx.shape)
 
+    if ra is not None:
+        from ..utils import math as mathx
+
+        p = mathx.to_concentric_disk(ra, rb) * cam.lens_radius
+        lx, ly = p[..., 0], p[..., 1]
+    else:
+        lx = jnp.zeros_like(fx)
+        ly = jnp.zeros_like(fy)
+
     d = (
-        cam.right[None, :] * fx[..., None]
-        + cam.up[None, :] * fy[..., None]
+        cam.right[None, :] * (fx - lx)[..., None]
+        + cam.up[None, :] * (fy - ly)[..., None]
         + cam.view[None, :] * fz[..., None]
     )
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(cam.position, d.shape)
-    return o, d
+    o = (
+        cam.position[None, :]
+        + cam.right[None, :] * lx[..., None]
+        + cam.up[None, :] * ly[..., None]
+    )
+    return jnp.broadcast_to(o, d.shape), d
 
 
 def raster_uv(cam: Camera, width: int, height: int, pos):

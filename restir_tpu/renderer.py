@@ -168,11 +168,49 @@ def step(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def step_jit(scene, state, cam, cfg: RenderConfig):
-    """The jitted frame step. The state argument is DONATED: its buffers
-    are reused for the next state (halves renderer HBM residency). Keep
-    a checkpoint (save_checkpoint) if the previous state is needed."""
+def _step_jit_donated(scene, state, cam, cfg: RenderConfig):
     return step(scene, state, cam, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _step_jit_plain(scene, state, cam, cfg: RenderConfig):
+    return step(scene, state, cam, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _denoise_jit(frame, gb, last_gb, den_state, cam, cfg: RenderConfig):
+    if cfg.denoiser == DenoiserType.EAW:
+        return dn.eaw_filter(frame, gb, cam, cfg), den_state
+    return dn.svgf_filter(frame, gb, last_gb, den_state, cam, cfg)
+
+
+def step_jit(scene, state, cam, cfg: RenderConfig):
+    """The jitted frame step.
+
+    Without a denoiser the state is DONATED (its buffers are reused for
+    the next state, halving renderer HBM residency) — keep a checkpoint
+    (save_checkpoint) if the previous state is needed.
+
+    With a denoiser the frame is split into TWO compiled programs
+    (integrate | denoise): each program's temporaries live in its own
+    arena, which keeps 1080p under the single-chip HBM budget — one
+    fused program's peak-liveness exceeds it.
+    """
+    if cfg.denoiser == DenoiserType.NONE:
+        return _step_jit_donated(scene, state, cam, cfg)
+
+    # copy the history attributes SVGF needs before the state is donated
+    last_prim = jnp.array(state.gbuffer.prim_id, copy=True)
+    last_norm = jnp.array(state.gbuffer.norm, copy=True)
+    core_cfg = cfg.replace(denoiser=DenoiserType.NONE)
+    next_state, frame = _step_jit_donated(scene, state, cam, core_cfg)
+    # unused history fields are filled from the current G-buffer (the
+    # SVGF temporal pass only reads prim_id/norm from the history)
+    last_gb = next_state.gbuffer._replace(prim_id=last_prim, norm=last_norm)
+    frame, den_state = _denoise_jit(
+        frame, next_state.gbuffer, last_gb, next_state.denoiser, cam, cfg
+    )
+    return next_state._replace(denoiser=den_state), frame
 
 
 def frame_to_image(frame: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:

@@ -50,14 +50,14 @@ def test_sharded_matches_single_device(setup):
         denoiser=DenoiserType.SVGF,
     )
     mesh = make_mesh()
-    state0 = renderer.init_state(cfg, cam)
 
-    s_single = state0
+    # step_jit donates its state: each run needs its own init_state
+    s_single = renderer.init_state(cfg, cam)
     for _ in range(3):
         s_single, f_single = renderer.step_jit(scene, s_single, cam, cfg)
 
     scene_r = shard_scene(scene, mesh)
-    s_shard = shard_state(state0, mesh, cfg)
+    s_shard = shard_state(renderer.init_state(cfg, cam), mesh, cfg)
     step_fn = make_sharded_step(cfg, mesh, s_shard)
     for _ in range(3):
         s_shard, f_shard = step_fn(scene_r, s_shard, cam)

@@ -51,6 +51,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", default="pcg4d", choices=["pcg4d", "sobol"])
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (failure-detection hook)")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timing JSON after rendering")
+    p.add_argument("--rmse-vs-pt", type=int, default=None, metavar="N",
+                   help="render an N-frame unbiased NEE reference and "
+                        "report RMSE against it (parity harness)")
     return p
 
 
@@ -147,10 +152,17 @@ def main(argv=None) -> int:
         pos = cam_ops.animate_position(base_pos, np.float32(t), args.animate_radius)
         return cam_ops.update_camera(cam, position=pos)
 
+    def sync(x):
+        # block_until_ready does not reliably wait through the axon PJRT
+        # relay; a scalar fetch forces execution
+        import jax.numpy as jnp
+
+        return float(jnp.sum(x))
+
     # warmup/compile frame
     t_compile = time.perf_counter()
     state, frame = renderer.step_jit(scene, state, camera_at(0), cfg)
-    frame.block_until_ready()
+    sync(frame)
     compile_s = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
@@ -160,9 +172,52 @@ def main(argv=None) -> int:
             # camera moved: restart the running average (main.cpp:158-162)
             state = renderer.reset_iteration(state)
         state, frame = renderer.step_jit(scene, state, c, cfg)
-    frame.block_until_ready()
+    sync(frame)
     dt = time.perf_counter() - t0
     fps = max(args.frames - 1, 1) / max(dt, 1e-9)
+
+    rmse_vs_pt = None
+    if args.rmse_vs_pt:
+        # parity harness: unbiased NEE ground truth at high spp
+        # (PTDirectKernel is the reference's own A/B target,
+        # main.cpp:166-173)
+        ref_cfg = cfg.replace(
+            tracer=TracerType.PT_DIRECT, denoiser=DenoiserType.NONE,
+            accumulate=True,
+        )
+        ref_state = renderer.init_state(ref_cfg, cam)
+        for _ in range(args.rmse_vs_pt):
+            ref_state, ref_frame = renderer.step_jit(
+                scene, ref_state, cam, ref_cfg
+            )
+        ref = np.asarray(ref_frame)
+        got = np.asarray(frame)
+        rmse_vs_pt = float(np.sqrt(((got - ref) ** 2).mean()))
+
+    if args.profile:
+        # per-stage timing harness (the reference's only profiling is an
+        # ImGui fps readout, preview.cpp:221)
+        import jax.numpy as jnp
+
+        from .models import gbuffer as gbuf_mod
+        import jax
+
+        prof = {}
+        gb_fn = jax.jit(
+            lambda: gbuf_mod.render_gbuffer(scene, cam, cam, cfg, 0)
+        )
+        out_gb = gb_fn(); sync(out_gb[0].albedo)
+        t = time.perf_counter()
+        for _ in range(4):
+            out_gb = gb_fn()
+        sync(out_gb[0].albedo)
+        prof["gbuffer_ms"] = round((time.perf_counter() - t) / 4 * 1000, 2)
+        t = time.perf_counter()
+        for _ in range(4):
+            state, frame = renderer.step_jit(scene, state, cam, cfg)
+        sync(frame)
+        prof["frame_ms"] = round((time.perf_counter() - t) / 4 * 1000, 2)
+        print(json.dumps(prof))
 
     # >= 3 traversals per pixel per ReSTIR frame (primary + shadow winner
     # + temporal/spatial are gathers); report primary+shadow rays
@@ -195,6 +250,8 @@ def main(argv=None) -> int:
         "resolution": [cfg.width, cfg.height],
         "output": out,
     }
+    if rmse_vs_pt is not None:
+        stats["rmse_vs_pt"] = round(rmse_vs_pt, 6)
     if args.stats_json:
         print(json.dumps(stats))
     else:

@@ -20,6 +20,7 @@ Deviations from the reference (documented):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
@@ -113,13 +114,13 @@ def pt_trace(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
         light_vis = is_light & (mathx.dot(it.norm, d) < 0)
     direct = direct + jnp.where(light_vis[..., None], mat.base_color, 0.0)
 
-    alive = it.valid & ~is_light
-    throughput = jnp.ones((R, 3))
-    wo = -d
-    pos = it.pos
-    norm = it.norm
+    # Bounce loop as lax.scan: the per-depth state is one bounded carry,
+    # so XLA allocates loop buffers ONCE instead of holding every
+    # unrolled depth's intermediates live (the unrolled form exceeds
+    # single-chip HBM at 1080p).
+    def bounce(carry, depth):
+        direct, indirect, alive, throughput, pos, norm, wo, mat = carry
 
-    for depth in range(1, cfg.trace_depth + 1):
         delta_bsdf = mat.type == DIELECTRIC
         norm = jnp.where(
             (~delta_bsdf & (mathx.dot(norm, wo) < 0))[..., None], -norm, norm
@@ -144,10 +145,10 @@ def pt_trace(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
             * (mathx.sat_dot(norm, ls.wi) * mis_w / jnp.maximum(ls.pdf, 1e-20))[..., None]
         )
         nee = jnp.where((shade & (ls.pdf > 0))[..., None], nee, 0.0)
-        if depth == 1:
-            direct = direct + nee
-        else:
-            indirect = indirect + nee
+        # depth-1 NEE is direct light, the rest indirect (same split as
+        # the reference)
+        direct = direct + jnp.where(depth == 1, 1.0, 0.0) * nee
+        indirect = indirect + jnp.where(depth == 1, 0.0, 1.0) * nee
 
         # --- BSDF bounce (pathtrace.cu:214-263)
         b1, b2, b3, _ = rngmod.draw4(cfg.sampler, pix, looper, ctr + 1, rngmod.SALT_PT)
@@ -200,11 +201,17 @@ def pt_trace(scene: SceneData, cam: Camera, cfg: RenderConfig, looper):
         )
         alive = alive & ~hit_light
 
-        pos = new_it.pos
-        norm = new_it.norm
-        wo = -rd
-        mat = new_mat
-        it = new_it
+        return (
+            direct, indirect, alive, throughput, new_it.pos, new_it.norm,
+            -rd, new_mat,
+        ), None
+
+    init = (
+        direct, indirect, it.valid & ~is_light, jnp.ones((R, 3)), it.pos,
+        it.norm, -d, mat,
+    )
+    depths = jnp.arange(1, cfg.trace_depth + 1)
+    (direct, indirect, *_), _ = jax.lax.scan(bounce, init, depths)
 
     return mathx.zero_nan_or_inf(direct), mathx.zero_nan_or_inf(indirect)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig, ReuseMode
@@ -69,49 +70,39 @@ def trace_gi_sample(
     trv = traversal_arrays(scene, cfg.intersector)
     R = cfg.num_pixels
 
-    lo = jnp.zeros((R, 3))
-    xv = it.pos
-    nv = it.norm
-    xs = jnp.zeros((R, 3))
-    ns = jnp.zeros((R, 3))
-    prim_pdf = jnp.ones((R,))
-    prim_delta = jnp.zeros((R,), bool)
+    # Bounce loop as lax.scan (bounded carry — see path_tracer.pt_trace):
+    # depth-1 bookkeeping (xv/nv/xs/ns, primary pdf) is handled with
+    # `where(depth == 1)` selects inside the scanned body.
+    def bounce(carry, depth):
+        (lo, nv, xs, ns, prim_pdf, prim_delta, alive, throughput,
+         pos, norm, wo, cur_mat) = carry
+        first = depth == 1
 
-    alive = it.valid & (mat.type != LIGHT)
-    throughput = jnp.ones((R, 3))
-    wo = -ray_dir
-    pos = it.pos
-    norm = it.norm
-    cur_mat = mat
-    cur_it = it
-
-    for depth in range(1, cfg.trace_depth + 1):
         delta_bsdf = cur_mat.type == DIELECTRIC
         norm = jnp.where(
             (~delta_bsdf & (mathx.dot(norm, wo) < 0))[..., None], -norm, norm
         )
-        if depth == 1:
-            nv = norm  # xv's normal after the orientation fix (restir.cu:286-288,321)
+        # xv's normal after the orientation fix (restir.cu:286-288,321)
+        nv = jnp.where(first, norm, nv)
 
         ctr = _CTR_PATH + (depth - 1) * 2
         # --- NEE from depth >= 2 (restir.cu:290-300)
-        if depth > 1:
-            l1, l2, l3, l4 = rngmod.uniform4(pix, looper, ctr, rngmod.SALT_GI)
-            shade = alive & ~delta_bsdf
-            ls = light_ops.sample_direct_light(
-                scene, trv, pos, l1, l2, l3, l4,
-                has_env=cfg.has_env_map, single_sided=cfg.single_sided_lights,
-                active=shade,
-            )
-            f = bsdf_ops.eval_bsdf(cur_mat, norm, wo, ls.wi)
-            bsdf_pdf = bsdf_ops.pdf_bsdf(cur_mat, norm, wo, ls.wi)
-            mis_w = mathx.power_heuristic(ls.pdf, bsdf_pdf)
-            nee = (
-                throughput * f * ls.radiance
-                * (mathx.sat_dot(norm, ls.wi) * mis_w
-                   / jnp.maximum(ls.pdf, 1e-20))[..., None]
-            )
-            lo = lo + jnp.where((shade & (ls.pdf > 0))[..., None], nee, 0.0)
+        l1, l2, l3, l4 = rngmod.uniform4(pix, looper, ctr, rngmod.SALT_GI)
+        shade = alive & ~delta_bsdf & ~first
+        ls = light_ops.sample_direct_light(
+            scene, trv, pos, l1, l2, l3, l4,
+            has_env=cfg.has_env_map, single_sided=cfg.single_sided_lights,
+            active=shade,
+        )
+        f = bsdf_ops.eval_bsdf(cur_mat, norm, wo, ls.wi)
+        bsdf_pdf = bsdf_ops.pdf_bsdf(cur_mat, norm, wo, ls.wi)
+        mis_w = mathx.power_heuristic(ls.pdf, bsdf_pdf)
+        nee = (
+            throughput * f * ls.radiance
+            * (mathx.sat_dot(norm, ls.wi) * mis_w
+               / jnp.maximum(ls.pdf, 1e-20))[..., None]
+        )
+        lo = lo + jnp.where((shade & (ls.pdf > 0))[..., None], nee, 0.0)
 
         # --- BSDF bounce (restir.cu:302-325)
         b1, b2, b3, _ = rngmod.uniform4(pix, looper, ctr + 1, rngmod.SALT_GI)
@@ -119,16 +110,14 @@ def trace_gi_sample(
         ok = alive & ~bsdf_ops.is_invalid(bs.type) & (bs.pdf >= 1e-8)
         delta_sample = bsdf_ops.is_delta(bs.type)
 
-        if depth == 1:
-            prim_pdf = jnp.where(ok, bs.pdf, prim_pdf)
-            prim_delta = jnp.where(ok, delta_sample, prim_delta)
-        else:
-            weight = jnp.where(delta_sample, 1.0, mathx.abs_dot(norm, bs.wi))
-            throughput = jnp.where(
-                ok[..., None],
-                throughput * bs.f * (weight / jnp.maximum(bs.pdf, 1e-20))[..., None],
-                throughput,
-            )
+        prim_pdf = jnp.where(first & ok, bs.pdf, prim_pdf)
+        prim_delta = jnp.where(first & ok, delta_sample, prim_delta)
+        weight = jnp.where(delta_sample, 1.0, mathx.abs_dot(norm, bs.wi))
+        throughput = jnp.where(
+            (ok & ~first)[..., None],
+            throughput * bs.f * (weight / jnp.maximum(bs.pdf, 1e-20))[..., None],
+            throughput,
+        )
         alive = ok
 
         ro, rd = ix.make_offseted_ray(pos, bs.wi)
@@ -159,25 +148,34 @@ def trace_gi_sample(
             light_pdf_area, pos, new_it.pos, new_it.norm
         )
         w = jnp.where(
-            delta_sample | (depth == 1),
+            delta_sample | first,
             1.0,
             mathx.power_heuristic(bs.pdf, light_pdf),
         )
         lo = lo + jnp.where(lit[..., None], le * throughput * w[..., None], 0.0)
 
-        if depth == 1:
-            # record the sample point whether light or surface
-            # (restir.cu:362-372)
-            got = ok & new_it.valid
-            xs = jnp.where(got[..., None], new_it.pos, xs)
-            ns = jnp.where(got[..., None], new_it.norm, ns)
+        # record the sample point whether light or surface (restir.cu:362-372)
+        got = first & ok & new_it.valid
+        xs = jnp.where(got[..., None], new_it.pos, xs)
+        ns = jnp.where(got[..., None], new_it.norm, ns)
 
         alive = alive & ~hit_light
-        pos = new_it.pos
-        norm = new_it.norm
-        wo = -rd
-        cur_mat = new_mat
-        cur_it = new_it
+        return (
+            lo, nv, xs, ns, prim_pdf, prim_delta, alive, throughput,
+            new_it.pos, new_it.norm, -rd, new_mat,
+        ), None
+
+    xv = it.pos
+    init = (
+        jnp.zeros((R, 3)), it.norm, jnp.zeros((R, 3)), jnp.zeros((R, 3)),
+        jnp.ones((R,)), jnp.zeros((R,), bool),
+        it.valid & (mat.type != LIGHT), jnp.ones((R, 3)),
+        it.pos, it.norm, -ray_dir, mat,
+    )
+    depths = jnp.arange(1, cfg.trace_depth + 1)
+    (lo, nv, xs, ns, prim_pdf, prim_delta, *_), _ = jax.lax.scan(
+        bounce, init, depths
+    )
 
     sample = rsv.IndirectSample(
         lo=mathx.zero_nan_or_inf(lo), xv=xv, nv=nv, xs=xs, ns=ns

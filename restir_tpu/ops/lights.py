@@ -213,6 +213,47 @@ def sample_light_cdf(
     return LightSample(pdf=pdf, radiance=radiance, wi=wi, dist=dist)
 
 
+_NEE_CHUNK = 65536
+
+
+def _sample_nv_chunked(scene, pos, r1, r2, r3, r4, has_env, single_sided):
+    """Ray-chunked wrapper: XLA expands the [R]-indexed light-table
+    gathers into one-hot matmuls whose padded temporaries are GBs at
+    full-frame R; lax.map over chunks bounds them."""
+    import jax
+
+    r = pos.shape[0]
+    if r <= _NEE_CHUNK:
+        return sample_direct_light_no_visibility(
+            scene, pos, r1, r2, r3, r4, has_env=has_env,
+            single_sided=single_sided,
+        )
+    chunk = _NEE_CHUNK
+    c = -(-r // chunk)
+    pad = c * chunk - r
+
+    def pad0(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    inputs = tuple(
+        pad0(x).reshape((c, chunk) + x.shape[1:])
+        for x in (pos, r1, r2, r3, r4)
+    )
+
+    def per_chunk(args):
+        p, a, b, cc, d = args
+        return sample_direct_light_no_visibility(
+            scene, p, a, b, cc, d, has_env=has_env, single_sided=single_sided
+        )
+
+    ls = jax.lax.map(per_chunk, inputs)
+    return jax.tree.map(
+        lambda x: x.reshape((c * chunk,) + x.shape[2:])[:r], ls
+    )
+
+
 def sample_direct_light(
     scene: SceneData,
     trv: ix.TraversalArrays,
@@ -224,7 +265,7 @@ def sample_direct_light(
 ) -> LightSample:
     """DevScene::sampleDirectLight (scene.h:427-459): NEE sample with a
     shadow ray; occluded samples get pdf = INVALID_PDF."""
-    ls = sample_direct_light_no_visibility(
+    ls = _sample_nv_chunked(
         scene, pos, r1, r2, r3, r4, has_env=has_env, single_sided=single_sided
     )
     # env samples use a far point (scene.h:386); area lights their sample

@@ -123,7 +123,9 @@ def step(
         indirect = _accumulate(indirect, ind, state.iteration, cfg.accumulate)
     elif cfg.tracer == TracerType.RESTIR_GI:
         # combined DI + GI frame (the composition the reference sketches
-        # at main.cpp:167-168)
+        # at main.cpp:167-168). NOTE: step_jit splits this tracer into
+        # two compiled programs at high resolutions; this single-program
+        # form is what the CPU/test path uses.
         out, dir_res = restir_di.restir_direct(
             scene, gb, state.gbuffer, it, mat, ray_dir, state.dir_reservoir,
             cfg, looper,
@@ -184,6 +186,36 @@ def _denoise_jit(frame, gb, last_gb, den_state, cam, cfg: RenderConfig):
     return dn.svgf_filter(frame, gb, last_gb, den_state, cam, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def _gi_jit(scene, gb, gi_res_in, indirect_illum, last_prim, last_norm,
+            cam, looper, iteration, cfg: RenderConfig):
+    """Standalone ReSTIR GI program (second half of the split RESTIR_GI
+    step): re-traces the shared primary hit (same jitter stream as the
+    G-buffer pass) and runs the indirect reservoir pipeline."""
+    from .ops.camera import pixel_centers, sample_rays
+    from .ops.primary import trace_primary
+    from .scene.scene_data import traversal_arrays
+    from .utils import rng as rngmod
+
+    trv = traversal_arrays(scene, cfg.intersector)
+    x, y = pixel_centers(cfg.width, cfg.height)
+    pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    if cfg.aa_jitter:
+        rx, ry, _, _ = rngmod.uniform4(pix, looper, 0, rngmod.SALT_CAMERA)
+    else:
+        rx = jnp.full_like(x, 0.5)
+        ry = jnp.full_like(y, 0.5)
+    o, d = sample_rays(cam, cfg.width, cfg.height, x, y, rx, ry)
+    it, mat, _ = trace_primary(scene, trv, o, d, cfg.with_textures)
+
+    last_gb = gb._replace(prim_id=last_prim, norm=last_norm)
+    ind, gi_res = restir_gi.restir_indirect(
+        scene, gb, last_gb, it, mat, d, gi_res_in, cfg, looper
+    )
+    indirect = _accumulate(indirect_illum, ind, iteration, cfg.accumulate)
+    return indirect, gi_res
+
+
 def step_jit(scene, state, cam, cfg: RenderConfig):
     """The jitted frame step.
 
@@ -196,13 +228,45 @@ def step_jit(scene, state, cam, cfg: RenderConfig):
     arena, which keeps 1080p under the single-chip HBM budget — one
     fused program's peak-liveness exceeds it.
     """
-    if cfg.denoiser == DenoiserType.NONE:
+    split_gi = (
+        cfg.tracer == TracerType.RESTIR_GI and cfg.num_pixels >= 512 * 512
+    )
+    if cfg.denoiser == DenoiserType.NONE and not split_gi:
         return _step_jit_donated(scene, state, cam, cfg)
 
-    # copy the history attributes SVGF needs before the state is donated
+    # copy what later programs need before the state is donated
     last_prim = jnp.array(state.gbuffer.prim_id, copy=True)
     last_norm = jnp.array(state.gbuffer.norm, copy=True)
+    looper0 = jnp.array(state.looper, copy=True)
+    iteration0 = jnp.array(state.iteration, copy=True)
+
     core_cfg = cfg.replace(denoiser=DenoiserType.NONE)
+    if split_gi:
+        # program 1: G-buffer + ReSTIR DI; program 2: ReSTIR GI — their
+        # temporaries would not fit HBM in one fused program at >= 1080p.
+        # gi_reservoir/indirect_illum pass through program 1 untouched
+        # (donated input aliased to output), so program 2 can donate the
+        # returned leaves directly.
+        core_cfg = core_cfg.replace(tracer=TracerType.RESTIR_DI)
+        next_state, frame = _step_jit_donated(scene, state, cam, core_cfg)
+        indirect, gi_res = _gi_jit(
+            scene, next_state.gbuffer, next_state.gi_reservoir,
+            next_state.indirect_illum, last_prim, last_norm, cam, looper0,
+            iteration0, cfg.replace(denoiser=DenoiserType.NONE),
+        )
+        next_state = next_state._replace(
+            indirect_illum=indirect, gi_reservoir=gi_res
+        )
+        frame = frame + indirect
+        if cfg.denoiser == DenoiserType.NONE:
+            return next_state, frame
+        frame_gb = next_state.gbuffer
+        last_gb = frame_gb._replace(prim_id=last_prim, norm=last_norm)
+        frame, den_state = _denoise_jit(
+            frame, frame_gb, last_gb, next_state.denoiser, cam, cfg
+        )
+        return next_state._replace(denoiser=den_state), frame
+
     next_state, frame = _step_jit_donated(scene, state, cam, core_cfg)
     # unused history fields are filled from the current G-buffer (the
     # SVGF temporal pass only reads prim_id/norm from the history)

@@ -15,6 +15,11 @@ import time
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs skip the multi-minute XLA
+    # compile of the 1080p frame program
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from restir_tpu import renderer

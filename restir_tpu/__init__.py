@@ -14,3 +14,11 @@ settings become a frozen static config.
 """
 
 __version__ = "0.1.0"
+
+from .config import (  # noqa: E402,F401
+    DenoiserType,
+    RenderConfig,
+    ReuseMode,
+    ToneMapping,
+    TracerType,
+)

@@ -169,6 +169,11 @@ def step(
     return next_state, frame
 
 
+# RESTIR_GI frames split into two compiled programs above this pixel
+# count (one fused program's temporaries exceed single-chip HBM)
+_SPLIT_GI_MIN_PIXELS = 512 * 512
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def _step_jit_donated(scene, state, cam, cfg: RenderConfig):
     return step(scene, state, cam, cfg)
@@ -188,27 +193,15 @@ def _denoise_jit(frame, gb, last_gb, den_state, cam, cfg: RenderConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
 def _gi_jit(scene, gb, gi_res_in, indirect_illum, last_prim, last_norm,
-            cam, looper, iteration, cfg: RenderConfig):
+            last_depth, cam, looper, iteration, cfg: RenderConfig):
     """Standalone ReSTIR GI program (second half of the split RESTIR_GI
-    step): re-traces the shared primary hit (same jitter stream as the
-    G-buffer pass) and runs the indirect reservoir pipeline."""
-    from .ops.camera import pixel_centers, sample_rays
-    from .ops.primary import trace_primary
-    from .scene.scene_data import traversal_arrays
-    from .utils import rng as rngmod
+    step): re-runs the G-buffer primary pass (identical inputs => the
+    SAME interaction/material/validity as program 1, including the
+    single-sided light remap) and runs the indirect reservoir pipeline.
+    """
+    gb2, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
 
-    trv = traversal_arrays(scene, cfg.intersector)
-    x, y = pixel_centers(cfg.width, cfg.height)
-    pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
-    if cfg.aa_jitter:
-        rx, ry, _, _ = rngmod.uniform4(pix, looper, 0, rngmod.SALT_CAMERA)
-    else:
-        rx = jnp.full_like(x, 0.5)
-        ry = jnp.full_like(y, 0.5)
-    o, d = sample_rays(cam, cfg.width, cfg.height, x, y, rx, ry)
-    it, mat, _ = trace_primary(scene, trv, o, d, cfg.with_textures)
-
-    last_gb = gb._replace(prim_id=last_prim, norm=last_norm)
+    last_gb = gb._replace(prim_id=last_prim, norm=last_norm, depth=last_depth)
     ind, gi_res = restir_gi.restir_indirect(
         scene, gb, last_gb, it, mat, d, gi_res_in, cfg, looper
     )
@@ -229,7 +222,8 @@ def step_jit(scene, state, cam, cfg: RenderConfig):
     fused program's peak-liveness exceeds it.
     """
     split_gi = (
-        cfg.tracer == TracerType.RESTIR_GI and cfg.num_pixels >= 512 * 512
+        cfg.tracer == TracerType.RESTIR_GI
+        and cfg.num_pixels >= _SPLIT_GI_MIN_PIXELS
     )
     if cfg.denoiser == DenoiserType.NONE and not split_gi:
         return _step_jit_donated(scene, state, cam, cfg)
@@ -237,6 +231,7 @@ def step_jit(scene, state, cam, cfg: RenderConfig):
     # copy what later programs need before the state is donated
     last_prim = jnp.array(state.gbuffer.prim_id, copy=True)
     last_norm = jnp.array(state.gbuffer.norm, copy=True)
+    last_depth = jnp.array(state.gbuffer.depth, copy=True)
     looper0 = jnp.array(state.looper, copy=True)
     iteration0 = jnp.array(state.iteration, copy=True)
 
@@ -251,13 +246,16 @@ def step_jit(scene, state, cam, cfg: RenderConfig):
         next_state, frame = _step_jit_donated(scene, state, cam, core_cfg)
         indirect, gi_res = _gi_jit(
             scene, next_state.gbuffer, next_state.gi_reservoir,
-            next_state.indirect_illum, last_prim, last_norm, cam, looper0,
-            iteration0, cfg.replace(denoiser=DenoiserType.NONE),
+            next_state.indirect_illum, last_prim, last_norm, last_depth,
+            cam, looper0, iteration0, cfg.replace(denoiser=DenoiserType.NONE),
         )
         next_state = next_state._replace(
             indirect_illum=indirect, gi_reservoir=gi_res
         )
-        frame = frame + indirect
+        # program 1 (RESTIR_DI) returns direct + the STALE indirect
+        # buffer it passed through; rebuild the frame from the fresh
+        # accumulators instead
+        frame = next_state.direct_illum + indirect
         if cfg.denoiser == DenoiserType.NONE:
             return next_state, frame
         frame_gb = next_state.gbuffer

@@ -126,3 +126,19 @@ def test_restir_gi_finite_and_positive(scene_cam):
     out = _run(scene, cam, TracerType.RESTIR_GI, frames=20, trace_depth=3)
     assert np.isfinite(out).all()
     assert out.mean() > 0
+
+
+def test_restir_gi_split_path_matches_fused(scene_cam, monkeypatch):
+    """The two-program RESTIR_GI split (used at >= 1080p-scale) must
+    produce the same image as the single fused program."""
+    scene, cam = scene_cam
+    cfg = RenderConfig(width=W, height=H, tracer=TracerType.RESTIR_GI,
+                       trace_depth=2)
+
+    s_fused, f_fused = renderer.render(scene, cam, cfg, 3)
+
+    monkeypatch.setattr(renderer, "_SPLIT_GI_MIN_PIXELS", 1)
+    s_split, f_split = renderer.render(scene, cam, cfg, 3)
+
+    a, b = np.asarray(f_fused), np.asarray(f_split)
+    assert np.allclose(a, b, rtol=1e-4, atol=1e-5), np.abs(a - b).max()

@@ -179,7 +179,8 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, loop
             pos, norm, wo, dmat.type, dmat.metallic, dmat.roughness, shade,
             prim_id, looper,
             scene.light_verts, scene.light_normal, scene.light_radiance,
-            scene.light_area, scene.light_center, scene.tri_xform,
+            scene.light_area, scene.light_center, scene.light_radius,
+            scene.tri_xform,
             k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
             ctr_base=_CTR_RIS,
         )

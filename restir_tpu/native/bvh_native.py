@@ -36,8 +36,24 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        # Key the build cache on the source hash, not mtimes: git
+        # checkouts do not preserve mtimes, and a stale prebuilt .so
+        # (possibly compiled -march=native on a different host) must
+        # never be silently loaded.
+        import hashlib
+
+        with open(_SRC, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        stamp = _LIB + ".sha256"
+        stale = True
+        if os.path.exists(_LIB) and os.path.exists(stamp):
+            with open(stamp) as f:
+                stale = f.read().strip() != src_hash
+        if stale:
             _compile()
+            with open(stamp + ".tmp", "w") as f:
+                f.write(src_hash)
+            os.replace(stamp + ".tmp", stamp)
         lib = ctypes.CDLL(_LIB)
         lib.build_bvh_native.restype = ctypes.c_int
         lib.build_bvh_native.argtypes = [

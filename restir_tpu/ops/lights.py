@@ -175,9 +175,20 @@ def sample_light_cdf(
 
     lum_area = mathx.luminance(scene.light_radiance) * scene.light_area  # [L]
     side = b > 0.0 if single_sided else jnp.abs(b) > 0.0
+    # Conservative horizon cull: a = n.(c_l - x) is evaluated at the
+    # light's CENTROID; a triangle straddling the shading tangent plane
+    # still has contribution from its above-horizon part, so the cull
+    # must be (a + bounding_radius > 0), not (a > 0), or that energy
+    # gets zero selection probability (a silent bias). The selection
+    # weight for straddling lights uses max(a, 0.1 r) — any positive
+    # value keeps the estimator unbiased (pdf is exact below); the
+    # clamp only shapes selection quality near the horizon.
+    rad = scene.light_radius
+    above = (a + rad[None, :]) > 0.0
+    a_eff = jnp.maximum(a, 0.1 * rad[None, :])
     t = jnp.where(
-        (a > 0.0) & side,
-        lum_area[None, :] * a * jnp.abs(b) / (d2 * d2),
+        above & side,
+        lum_area[None, :] * a_eff * jnp.abs(b) / (d2 * d2),
         0.0,
     )  # [R, L]
 

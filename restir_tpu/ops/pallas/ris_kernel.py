@@ -164,8 +164,14 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
                 precision=jax.lax.Precision.HIGHEST), 1e-8
     )
     side = bb > 0.0 if single_sided else jnp.abs(bb) > 0.0
+    # conservative horizon cull + clamped selection weight — must mirror
+    # ops/lights.sample_light_cdf exactly (see its comment)
+    lum_area = lumarea_ref[:, 0:1]
+    rad = lumarea_ref[:, 1:2]
+    above = (a + rad) > 0.0
+    a_eff = jnp.maximum(a, 0.1 * rad)
     t = jnp.where(
-        (a > 0.0) & side, lumarea_ref[:, :] * a * jnp.abs(bb) / (d2 * d2), 0.0
+        above & side, lum_area * a_eff * jnp.abs(bb) / (d2 * d2), 0.0
     )  # [L, B]
 
     # ---- CDF via lower-triangular matmul: cdf_l = sum_{l' <= l} T_l'
@@ -327,7 +333,7 @@ def _round_up(x, m):
 def ris_cdf_pallas(
     pos, norm, wo, mtype, metallic, roughness, shade, prim_id, looper,
     light_verts, light_normal, light_radiance, light_area, light_center,
-    tri_xform,
+    light_radius, tri_xform,
     k: int = 4, single_sided: bool = True, ctr_base: int = 8,
     tile: int = 1024, nb: int = 128, interpret: bool = False,
 ):
@@ -369,7 +375,9 @@ def ris_cdf_pallas(
     # (cx, cy, cz, |c|^2, 1) so that the product is |x|^2 - 2 x.c + |c|^2
     psi_c = jnp.concatenate([lc, c2, jnp.ones((l_pad, 1))], axis=1)
     lum = 0.2126 * lr[:, 0] + 0.7152 * lr[:, 1] + 0.0722 * lr[:, 2]
-    lum_area = (lum * la)[:, None]  # [L, 1] — zero rows for padding
+    lrad = padl(light_radius)
+    # columns: (lum * area, bounding radius) — zero rows for padding
+    lum_area = jnp.stack([lum * la, lrad], axis=1)  # [L, 2]
 
     tri_lo = jnp.tril(jnp.ones((l_pad, l_pad), jnp.float32))
 
@@ -414,7 +422,7 @@ def ris_cdf_pallas(
             pl.BlockSpec((l_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((l_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((l_pad, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((l_pad, l_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (LIGHT_COLS, l_pad), lambda i: (0, 0), memory_space=pltpu.VMEM

@@ -331,7 +331,13 @@ def _load_texture(path: str, flip: bool = True) -> np.ndarray:
 
 
 def _is_number(tok: str) -> bool:
-    return tok and tok[-1].isdigit()
+    """True when the token parses as a numeric literal (the reference's
+    format allows either a number or a texture path here)."""
+    try:
+        float(tok)
+        return True
+    except (TypeError, ValueError):
+        return False
 
 
 def parse_scene_file(path: str) -> SceneFile:

@@ -109,6 +109,7 @@ class SceneData(NamedTuple):
     light_normal: jnp.ndarray  # [L, 3] (area-weighted triangle normal)
     light_area: jnp.ndarray  # [L]
     light_center: jnp.ndarray  # [L, 3]
+    light_radius: jnp.ndarray  # [L] centroid bounding radius (horizon cull)
     light_prob: jnp.ndarray  # [Ls]
     light_alias: jnp.ndarray  # [Ls] int32
     sum_light_power_inv: jnp.ndarray  # scalar
@@ -326,6 +327,7 @@ def build_scene(
     larea = np.linalg.norm(lcross, axis=-1) * 0.5
     lnormal = lcross / np.maximum(np.linalg.norm(lcross, axis=-1, keepdims=True), 1e-20)
     lcenter = lverts.mean(axis=1)
+    lradius = np.linalg.norm(lverts - lcenter[:, None, :], axis=-1).max(axis=1)
 
     return SceneData(
         verts=jnp.asarray(verts),
@@ -355,6 +357,7 @@ def build_scene(
         light_normal=jnp.asarray(lnormal.astype(np.float32)),
         light_area=jnp.asarray(larea.astype(np.float32)),
         light_center=jnp.asarray(lcenter.astype(np.float32)),
+        light_radius=jnp.asarray(lradius.astype(np.float32)),
         light_prob=light_table.prob,
         light_alias=light_table.fail_id,
         sum_light_power_inv=jnp.float32(sum_power_inv),

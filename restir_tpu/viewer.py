@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -127,8 +128,12 @@ def _render_loop(scene, state: ViewerState):
         t_last = now
 
 
-def serve(scene, cfg, cam, port: int = 8000):
-    """Blocking: render loop + HTTP viewer on the given port."""
+def serve(scene, cfg, cam, port: int = 8000, host: str = "127.0.0.1"):
+    """Blocking: render loop + HTTP viewer on the given port.
+
+    Binds loopback by default — the control endpoint is unauthenticated,
+    so exposing it on all interfaces must be an explicit choice
+    (pass host="0.0.0.0")."""
     state = ViewerState(cfg, cam)
     t = threading.Thread(target=_render_loop, args=(scene, state), daemon=True)
     t.start()
@@ -186,9 +191,17 @@ def serve(scene, cfg, cam, port: int = 8000):
                 q = parse_qs(url.query)
                 from .config import DenoiserType, ReuseMode, ToneMapping, TracerType
 
+                def safe_float(vals, default=0.0):
+                    try:
+                        v = float(vals[0])
+                    except (TypeError, ValueError, IndexError):
+                        return default
+                    return v if math.isfinite(v) else default
+
                 with state.lock:
-                    if "key" in q:
-                        dx, dy, dz = move[q["key"][0]]
+                    step_xyz = move.get(q.get("key", [None])[0])
+                    if step_xyz is not None:
+                        dx, dy, dz = step_xyz
                         # move in the camera frame (view/right from rotation)
                         yaw = np.deg2rad(state.rotation[0])
                         fwd = np.array([np.cos(yaw), 0, np.sin(yaw)], np.float32)
@@ -199,8 +212,8 @@ def serve(scene, cfg, cam, port: int = 8000):
                         )
                         state.cam_changed = True
                     if "yaw" in q or "pitch" in q:
-                        state.rotation[0] += float(q.get("yaw", [0])[0]) * 0.3
-                        state.rotation[1] -= float(q.get("pitch", [0])[0]) * 0.3
+                        state.rotation[0] += safe_float(q.get("yaw", [0])) * 0.3
+                        state.rotation[1] -= safe_float(q.get("pitch", [0])) * 0.3
                         state.rotation[1] = float(np.clip(state.rotation[1], -89, 89))
                         state.cam_changed = True
                     if "reset" in q:
@@ -232,7 +245,7 @@ def serve(scene, cfg, cam, port: int = 8000):
                         }),
                     }
                     for key, (field, mapping) in maps.items():
-                        if key in q:
+                        if key in q and q[key][0] in mapping:
                             state.cfg = state.cfg.replace(
                                 **{field: mapping[q[key][0]]}
                             )
@@ -243,7 +256,7 @@ def serve(scene, cfg, cam, port: int = 8000):
                 self.send_response(404)
                 self.end_headers()
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     print(f"[viewer] http://localhost:{port}/  (ctrl-c to stop)")
     try:
         server.serve_forever()

@@ -198,7 +198,8 @@ def test_ris_cdf_pallas_matches_xla_cdf(scene_cam):
         it.pos, norm, wo, dmat.type, dmat.metallic, dmat.roughness, shade,
         it.prim_id, looper,
         scene.light_verts, scene.light_normal, scene.light_radiance,
-        scene.light_area, scene.light_center, scene.tri_xform,
+        scene.light_area, scene.light_center, scene.light_radius,
+        scene.tri_xform,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         ctr_base=restir_di._CTR_RIS, interpret=True,
     )
@@ -269,7 +270,8 @@ def test_ris_cdf_pallas_statistical_shading(scene_cam):
             it.pos, norm, wo, dmat.type, dmat.metallic, dmat.roughness,
             shade, it.prim_id, looper,
             scene.light_verts, scene.light_normal, scene.light_radiance,
-            scene.light_area, scene.light_center, scene.tri_xform,
+            scene.light_area, scene.light_center, scene.light_radius,
+        scene.tri_xform,
             k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
             ctr_base=restir_di._CTR_RIS, interpret=True,
         )

@@ -42,7 +42,7 @@ def main():
 
         return float(jnp.sum(x))
 
-    state = renderer.init_state(cfg, cam)
+    state = renderer.init_state(cfg, cam, scene)
     t0 = time.perf_counter()
     for _ in range(warmup):
         state, frame = renderer.step_jit(scene, state, cam, cfg)

@@ -139,7 +139,7 @@ def main(argv=None) -> int:
         serve(scene, cfg, cam, port=args.serve)
         return 0
 
-    state = renderer.init_state(cfg, cam)
+    state = renderer.init_state(cfg, cam, scene)
     if args.load_state:
         state = renderer.load_checkpoint(args.load_state, cfg, cam)
 
@@ -185,7 +185,7 @@ def main(argv=None) -> int:
             tracer=TracerType.PT_DIRECT, denoiser=DenoiserType.NONE,
             accumulate=True,
         )
-        ref_state = renderer.init_state(ref_cfg, cam)
+        ref_state = renderer.init_state(ref_cfg, cam, scene)
         for _ in range(args.rmse_vs_pt):
             ref_state, ref_frame = renderer.step_jit(
                 scene, ref_state, cam, ref_cfg

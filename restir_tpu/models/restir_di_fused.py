@@ -1,0 +1,177 @@
+"""Fused channel-major ReSTIR DI frame (TPU fast path).
+
+Drives the three Pallas kernels in ops/pallas/fused_di.py with a
+channel-major state pytree — no [R, 3] / [R, 1] tensor ever exists on
+this path, eliminating the ~400 ms/frame of 128x tile-padding traffic
+the round-1 whole-frame XLA ops paid (BASELINE.md).
+
+The algorithm is the reference's ReSTIR DI pipeline
+(/root/reference/src/restir.cu:111-231) with the same structure as
+models/restir_di.py; see fused_di.py for the per-kernel mapping and the
+documented deviations (windowed temporal gather, per-tile spatial
+offsets).
+
+State layout: everything is [C, R/128, 128] f32. The displayable frame
+is the accumulator itself ([3, R/128, 128]); renderer.frame_to_image
+accepts this channel-major form directly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DenoiserType, RenderConfig, ReuseMode, TracerType
+from ..ops.camera import Camera
+from ..ops.pallas import fused_di as fk
+from ..scene.scene_data import SceneData
+
+
+class FusedDIState(NamedTuple):
+    looper: jnp.ndarray  # uint32 scalar
+    iteration: jnp.ndarray  # int32 scalar
+    accum: jnp.ndarray  # [3, R/128, 128] running-mean radiance
+    pt_pack: jnp.ndarray  # [PT_CH, R/128, 128] post-temporal reuse pack
+    gb_pack: jnp.ndarray  # [GB_CH, R/128, 128] previous frame's G-buffer
+    last_camera: Camera
+
+
+def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
+    """Static gate for the fused path (everything else falls back to the
+    general models/restir_di.py pipeline)."""
+    from ..ops.intersect import _on_tpu
+    from ..models.restir_di import resolve_ris_mode
+    from ..scene.scene_data import traversal_method
+
+    return (
+        cfg.tracer == TracerType.RESTIR_DI
+        and _on_tpu()
+        and fk.eligible(cfg, cfg.has_env_map, cfg.with_textures)
+        and resolve_ris_mode(cfg) == "cdf"
+        and cfg.denoiser in (DenoiserType.NONE, DenoiserType.EAW)
+        and traversal_method(scene, cfg.intersector) == "brute"
+        and cfg.sampler == "pcg4d"
+    )
+
+
+def init_state(cfg: RenderConfig, cam: Camera) -> FusedDIState:
+    g = cfg.num_pixels // 128
+    cam = jax.tree.map(lambda x: jnp.array(x, copy=True), cam)
+    return FusedDIState(
+        looper=jnp.uint32(0),
+        iteration=jnp.int32(0),
+        accum=jnp.zeros((3, g, 128)),
+        pt_pack=jnp.zeros((fk.PT_CH, g, 128)),
+        gb_pack=_empty_gb_pack(cfg.num_pixels),
+        last_camera=cam,
+    )
+
+
+def _empty_gb_pack(num_pixels: int) -> jnp.ndarray:
+    """First-frame history: prim_remap = NULL so temporal lookups reject
+    (mirrors models/gbuffer.empty_gbuffer)."""
+    g = num_pixels // 128
+    pack = jnp.zeros((fk.GB_CH, g, 128))
+    pack = pack.at[fk.G_PRIMR].set(-1.0)
+    pack = pack.at[fk.G_DEPTH].set(1.0)
+    pack = pack.at[fk.G_MISS].set(1.0)
+    return pack
+
+
+def reset_accumulation(state: FusedDIState) -> FusedDIState:
+    return state._replace(
+        iteration=jnp.int32(0),
+        accum=jnp.zeros_like(state.accum),
+        pt_pack=jnp.zeros_like(state.pt_pack),
+    )
+
+
+def step_fused(
+    scene: SceneData,
+    state: FusedDIState,
+    cam: Camera,
+    cfg: RenderConfig,
+    interpret: bool = False,
+) -> Tuple[FusedDIState, jnp.ndarray]:
+    """One fused frame. Returns (state', frame [3, R/128, 128]).
+    `interpret` runs the kernels in the Pallas interpreter (CPU tests)."""
+    looper = state.looper
+    r = cfg.num_pixels
+
+    xy = fk.make_xy_grid(cfg.width, cfg.height)
+    cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
+    lcam_vec = fk.pack_camera(state.last_camera, cfg.width, cfg.height)
+
+    gb = fk.gbuffer_pack_pallas(
+        xy, cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, width=cfg.width, height=cfg.height,
+        aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
+        interpret=interpret,
+    )
+
+    pt = fk.reuse_pallas(
+        gb, state.pt_pack.reshape(fk.PT_CH, r), looper,
+        scene.light_verts, scene.light_normal, scene.light_radiance,
+        scene.light_area, scene.light_center, scene.light_radius,
+        scene.tri_xform,
+        k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
+        temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
+        temporal_clamp=cfg.temporal_clamp, interpret=interpret,
+    )
+
+    accum = fk.spatial_shade_pallas(
+        gb, pt, pt.reshape(fk.PT_CH, r), state.accum, looper,
+        state.iteration, width=cfg.width, height=cfg.height,
+        neighbors=cfg.spatial_neighbors, radius=cfg.spatial_radius,
+        accumulate=cfg.accumulate,
+        reuse_spatial=bool(cfg.reuse & ReuseMode.SPATIAL),
+        interpret=interpret,
+    )
+
+    frame = accum
+    if cfg.denoiser == DenoiserType.EAW:
+        frame = eaw_filter_packed(accum, gb, cfg)
+
+    next_state = FusedDIState(
+        looper=looper + jnp.uint32(1),
+        iteration=state.iteration + 1,
+        accum=accum,
+        pt_pack=pt,
+        gb_pack=gb,
+        last_camera=cam,
+    )
+    return next_state, frame
+
+
+def eaw_filter_packed(
+    frame: jnp.ndarray,  # [3, R/128, 128]
+    gb_pack: jnp.ndarray,  # [GB_CH, R/128, 128]
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """EAW à-trous filter on channel-major planes (no [R, 3] transposes —
+    the filter core in models/denoiser.py is already plane-based)."""
+    from . import denoiser as dn
+
+    h, w = cfg.height, cfg.width
+
+    def plane(i):
+        return gb_pack[i].reshape(h, w)
+
+    def planes3(i):
+        return gb_pack[i:i + 3].reshape(3, h, w)
+
+    albedo = jnp.maximum(planes3(fk.G_ALB), 0.0)
+    color = frame.reshape(3, h, w)
+    if cfg.modulate_albedo:
+        safe = jnp.where(albedo > 1e-4, albedo, 1.0)
+        color = color / safe
+    else:
+        safe = jnp.ones_like(albedo)
+
+    gb_planes = (plane(fk.G_PRIMR), planes3(fk.G_NORM), planes3(fk.G_POS))
+    for level in range(cfg.eaw_levels):
+        color = dn.eaw_filter_level(color, gb_planes, cfg, level)
+    out = color * safe
+    return out.reshape(3, cfg.num_pixels // 128, 128)

@@ -1,0 +1,1006 @@
+"""Fully fused ReSTIR DI frame: three Pallas kernels, zero XLA glue.
+
+Round-1 profiling (BASELINE.md) showed the DI frame spending ~400 ms of
+its 710 ms in XLA *between* the kernels: every [R, 3] / [R, 1] tensor is
+tile-padded 128x on TPU (a 2M-pixel boolean mask costs 253 MB), so the
+whole-frame array ops around the kernels were pure padded-layout
+traffic. This module keeps every per-pixel quantity in ONE channel-major
+[C, R/128, 128] f32 tensor end-to-end:
+
+  kernel G (gbuffer):   camera raygen + closest hit + attribute/material
+                        interpolation + motion reprojection
+                        -> gb pack   [GB_CH, R]      (gbuffer.cu:3-73)
+  kernel R (reuse):     RIS candidates (CDF mode) + winner visibility +
+                        TEMPORAL merge (windowed in-kernel motion gather)
+                        -> pt pack   [PT_CH, R]      (restir.cu:111-188)
+  kernel S (spatial):   5-neighbor spatial merges + shade + accumulate
+                        -> radiance  [3, R]          (restir.cu:190-230)
+
+The temporal motion gather — a per-pixel random gather XLA lowers to a
+~24 ms relayout — becomes a per-tile windowed one-hot matmul: the
+previous frame's reuse rows live in HBM, each tile DMAs the [PT_CH, S]
+window starting at its pixels' minimum motion index (computed in XLA,
+passed via scalar prefetch) and gathers in-VMEM with an exact
+bf16-split one-hot matmul. Pixels whose motion falls outside the window
+are treated as reprojection failures (same fallback as a geometry
+mismatch).
+
+Spatial reuse deviation (vs restir.cu:53): neighbor disk offsets are
+drawn per (tile, neighbor, frame) instead of per pixel — a per-pixel
+offset would need a [21k, B] gather per neighbor. Offsets re-randomize
+every frame and every 1024-pixel tile, so there is no frame-wide
+correlation (the round-1 XLA path shared offsets across the whole
+frame); the merge randomness and similarity rejection remain per-pixel.
+
+Eligibility (the model falls back to models/restir_di.py otherwise):
+RESTIR_DI tracer, brute/clustered intersector, cdf RIS mode, no env
+map, no textures, no DoF, W % 128 == 0 and H % 8 == 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect_kernel import (
+    ATTR_COLS,
+    MAT_COLS,
+    NULL_PRIMITIVE,
+    _BIG,
+    _hi_lo,
+    _hi_mid_lo,
+    _round_up,
+    _split_planes,
+    dot_exact_a,
+    dot_exact_b,
+    dot_f32x3,
+)
+from .ris_kernel import (
+    LIGHT_COLS,
+    _dot3,
+    _eval_bsdf_lum,
+    _pcg4d,
+    _unit,
+    build_light_tables,
+)
+
+# material type constants (scene/scene_data.py:35-39)
+_LAMBERTIAN, _METALLIC, _DIELECTRIC, _LIGHT = 0.0, 1.0, 2.0, 4.0
+LIGHT_ID = -2.0  # gbuffer light remap (gbuffer.cu:31)
+_NULL = -1.0
+
+# rng counter layout (must match models/restir_di.py + utils/rng.py salts)
+_SALT_CAMERA = 0x01
+_SALT_RESTIR = 0x02
+_CTR_TEMPORAL = 0
+_CTR_SPATIAL = 1
+_CTR_RIS = 8
+
+# ---- gb pack channel layout ([GB_CH, R]) ----
+G_POS = 0  # 3: world hit position (0 on miss)
+G_NORM = 3  # 3: interpolated shading normal (0 on miss)
+G_DIR = 6  # 3: primary ray direction
+G_ALB = 9  # 3: demodulation albedo (base color; 0 on miss)
+G_DEPTH = 12  # camera distance (1 on miss)
+G_MOTION = 13  # last-frame linear pixel index (-1 invalid, 0 on miss)
+G_PRIMR = 14  # matId | LIGHT_ID | NULL (prim remap, gbuffer.cu:28-42)
+G_MTYPE = 15
+G_METAL = 16
+G_ROUGH = 17
+G_SHADE = 18  # valid & ~is_light
+G_LIGHT = 19  # is_light
+G_MISS = 20
+G_PRIM = 21  # true triangle id (visibility self-exclusion)
+G_X = 22  # raster x (copied from the const grid; used by kernel S)
+G_Y = 23  # raster y
+GB_CH = 24
+
+# ---- pt (reuse) pack channel layout ([PT_CH, R]) ----
+P_LI = 0  # 3
+P_WI = 3  # 3
+P_DIST = 6
+P_WEIGHT = 7
+P_M = 8
+P_PRIMR = 9  # similarity attributes of the frame that wrote the pack
+P_NORM = 10  # 3
+P_DEPTH = 13
+PT_CH = 16  # padded to a multiple of 8 (14 used)
+
+_TILE = 1024
+
+
+def eligible(cfg, scene_has_env: bool, with_textures: bool) -> bool:
+    return (
+        not scene_has_env
+        and not with_textures
+        and not cfg.enable_dof
+        and cfg.width % 128 == 0
+        and cfg.height % 8 == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel G: raygen + closest hit + gbuffer pack
+
+
+def _gbuffer_kernel(xy_ref, cam_ref, lcam_ref, looper_ref, xu_ref, xv_ref,
+                    xw_ref, attr_ref, mat_ref, out_ref, *, n_pad, nb, m_pad,
+                    width, height, aa_jitter, single_sided):
+    cg = xy_ref.shape[1]
+    b = cg * 128
+    x = xy_ref[0, :, :].reshape(b)
+    y = xy_ref[1, :, :].reshape(b)
+    tile = pl.program_id(0)
+    pix = tile * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    looper = looper_ref[0]
+
+    # --- camera raygen (Camera::sample, sceneStructs.h:69-86)
+    if aa_jitter:
+        u1, u2, _, _ = _pcg4d(
+            pix.astype(jnp.uint32), jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), 0, jnp.uint32), jnp.full((b,), _SALT_CAMERA, jnp.uint32),
+        )
+        rx, ry = _unit(u1), _unit(u2)
+    else:
+        rx = jnp.full((b,), 0.5, jnp.float32)
+        ry = jnp.full((b,), 0.5, jnp.float32)
+
+    aspect = float(width) / float(height)
+    tanf = cam_ref[12]
+    focal = cam_ref[13]
+    ruv_x = 1.0 - 2.0 * (x + rx) * (1.0 / width)
+    ruv_y = 1.0 - 2.0 * (y + ry) * (1.0 / height)
+    fx = ruv_x * (aspect * tanf * focal)
+    fy = ruv_y * (tanf * focal)
+
+    dx = cam_ref[3] * fx + cam_ref[6] * fy + cam_ref[9] * focal
+    dy = cam_ref[4] * fx + cam_ref[7] * fy + cam_ref[10] * focal
+    dz = cam_ref[5] * fx + cam_ref[8] * fy + cam_ref[11] * focal
+    dinv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * dinv, dy * dinv, dz * dinv
+    ox = jnp.full((b,), cam_ref[0], jnp.float32)
+    oy = jnp.full((b,), cam_ref[1], jnp.float32)
+    oz = jnp.full((b,), cam_ref[2], jnp.float32)
+
+    # --- closest hit over triangle blocks (bf16-split matmuls)
+    oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)  # [B, 4]
+    dh = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=1)
+    oh_split, dh_split = _hi_lo(oh), _hi_lo(dh)
+
+    def body(i, carry):
+        best_dist, best_prim, best_u, best_v, best_attr = carry
+        col = pl.multiple_of(i * nb, nb)
+        xu = xu_ref[:, pl.ds(col, nb)]
+        xv = xv_ref[:, pl.ds(col, nb)]
+        xw = xw_ref[:, pl.ds(col, nb)]
+        oou = dot_f32x3(None, xu, a_split=oh_split)
+        oov = dot_f32x3(None, xv, a_split=oh_split)
+        oow = dot_f32x3(None, xw, a_split=oh_split)
+        ddu = dot_f32x3(None, xu, a_split=dh_split)
+        ddv = dot_f32x3(None, xv, a_split=dh_split)
+        ddw = dot_f32x3(None, xw, a_split=dh_split)
+        nondeg = jnp.abs(ddw) >= 1e-12
+        t = -oow / jnp.where(nondeg, ddw, 1.0)
+        u = oou + t * ddu
+        v = oov + t * ddv
+        hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        dist = jnp.where(hit, t, _BIG)
+        j = jnp.argmin(dist, axis=-1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
+        oh_best = col_ids == j[:, None]
+        d_best = jnp.min(dist, axis=-1)
+        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=-1)
+        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=-1)
+        attr_block = attr_ref[pl.ds(col, nb), :]
+        attr_best = dot_exact_a(oh_best.astype(jnp.float32), attr_block)
+        closer = d_best < best_dist
+        return (
+            jnp.minimum(best_dist, d_best),
+            jnp.where(closer, j + i * nb, best_prim),
+            jnp.where(closer, u_best, best_u),
+            jnp.where(closer, v_best, best_v),
+            jnp.where(closer[:, None], attr_best, best_attr),
+        )
+
+    init = (
+        jnp.full((b,), _BIG, jnp.float32),
+        jnp.full((b,), NULL_PRIMITIVE, jnp.int32),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b, ATTR_COLS), jnp.float32),
+    )
+    best_dist, best_prim, best_u, best_v, a = jax.lax.fori_loop(
+        0, n_pad // nb, body, init
+    )
+    missed = best_dist >= _BIG
+    valid0 = ~missed
+
+    u = best_u[:, None]
+    v = best_v[:, None]
+    pos = a[:, 0:3] + u * a[:, 3:6] + v * a[:, 6:9]
+    nrm = a[:, 9:12] + u * a[:, 12:15] + v * a[:, 15:18]
+    nlen = jax.lax.rsqrt(jnp.maximum(jnp.sum(nrm * nrm, axis=1, keepdims=True), 1e-20))
+    nrm = nrm * nlen
+    mat_id = a[:, 24].astype(jnp.int32)
+
+    mcol = jax.lax.broadcasted_iota(jnp.int32, (b, m_pad), 1)
+    oh_mat = (mcol == mat_id[:, None]).astype(jnp.float32)
+    matp = dot_exact_a(oh_mat, mat_ref[:, :])
+
+    mtype = matp[:, 0]
+    is_light = valid0 & (mtype == _LIGHT)
+    ndotd = nrm[:, 0] * dx + nrm[:, 1] * dy + nrm[:, 2] * dz
+    front = ndotd < 0.0
+    if single_sided:
+        # back-face light hits become misses (gbuffer.cu:32-36)
+        valid = valid0 & ~(is_light & ~front)
+    else:
+        valid = valid0
+    is_light = is_light & valid
+    shade = valid & ~is_light
+
+    prim_remap = jnp.where(
+        valid, jnp.where(is_light, LIGHT_ID, a[:, 24]), _NULL
+    )
+
+    px = jnp.where(valid, pos[:, 0], 0.0)
+    py = jnp.where(valid, pos[:, 1], 0.0)
+    pz = jnp.where(valid, pos[:, 2], 0.0)
+    tox, toy, toz = px - ox, py - oy, pz - oz
+    depth = jnp.where(valid, jnp.sqrt(tox * tox + toy * toy + toz * toz), 1.0)
+
+    # --- motion index: reproject through lastCamera (gbuffer.cu:49-55,
+    # Camera::getRasterUV sceneStructs.h:23-46)
+    lx_, ly_, lz_ = px - lcam_ref[0], py - lcam_ref[1], pz - lcam_ref[2]
+    linv = jax.lax.rsqrt(jnp.maximum(lx_ * lx_ + ly_ * ly_ + lz_ * lz_, 1e-20))
+    lx_, ly_, lz_ = lx_ * linv, ly_ * linv, lz_ * linv
+    ldep = lx_ * lcam_ref[9] + ly_ * lcam_ref[10] + lz_ * lcam_ref[11]
+    ldep_inv = 1.0 / jnp.where(jnp.abs(ldep) < 1e-20, 1e-20, ldep)
+    prx = (lx_ * lcam_ref[3] + ly_ * lcam_ref[4] + lz_ * lcam_ref[5]) * ldep_inv
+    pry = (lx_ * lcam_ref[6] + ly_ * lcam_ref[7] + lz_ * lcam_ref[8]) * ldep_inv
+    ltan = lcam_ref[12]
+    un = (-(prx / (aspect * ltan))) * 0.5 + 0.5
+    vn = (-(pry / ltan)) * 0.5 + 0.5
+    mx = (un * width).astype(jnp.int32)
+    my = (vn * height).astype(jnp.int32)
+    in_b = (mx >= 0) & (mx < width) & (my >= 0) & (my < height)
+    motion = jnp.where(
+        valid,
+        jnp.where(in_b, (my * width + mx).astype(jnp.float32), _NULL),
+        0.0,
+    )
+
+    def put(i, val):
+        out_ref[i, :, :] = val.reshape(cg, 128)
+
+    put(G_POS, px)
+    put(G_POS + 1, py)
+    put(G_POS + 2, pz)
+    vf = valid
+    for k in range(3):
+        put(G_NORM + k, jnp.where(vf, nrm[:, k], 0.0))
+    put(G_DIR, dx)
+    put(G_DIR + 1, dy)
+    put(G_DIR + 2, dz)
+    for k in range(3):
+        put(G_ALB + k, jnp.where(vf, matp[:, 1 + k], 0.0))
+    put(G_DEPTH, depth)
+    put(G_MOTION, motion)
+    put(G_PRIMR, prim_remap)
+    put(G_MTYPE, mtype)
+    put(G_METAL, matp[:, 4])
+    put(G_ROUGH, matp[:, 5])
+    put(G_SHADE, shade.astype(jnp.float32))
+    put(G_LIGHT, is_light.astype(jnp.float32))
+    put(G_MISS, (~valid).astype(jnp.float32))
+    put(G_PRIM, jnp.where(valid, best_prim.astype(jnp.float32), _NULL))
+    put(G_X, x)
+    put(G_Y, y)
+
+
+def pack_camera(cam, width: int, height: int):
+    """Camera -> [16] f32 SMEM vector for the fused kernels."""
+    tanf = jnp.tan(jnp.deg2rad(cam.fov_y))
+    return jnp.concatenate(
+        [
+            cam.position.astype(jnp.float32),
+            cam.right.astype(jnp.float32),
+            cam.up.astype(jnp.float32),
+            cam.view.astype(jnp.float32),
+            jnp.stack([
+                tanf.astype(jnp.float32),
+                cam.focal_dist.astype(jnp.float32),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]),
+        ]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "aa_jitter",
+                                              "single_sided", "nb", "interpret"))
+def gbuffer_pack_pallas(
+    xy_grid, cam_vec, lcam_vec, looper, tri_xform, prim_attr, mat_attr,
+    width: int, height: int, aa_jitter: bool = True,
+    single_sided: bool = True, nb: int = 128, interpret: bool = False,
+):
+    """Returns the gbuffer pack [GB_CH, R/128, 128]."""
+    r = width * height
+    assert r % _TILE == 0
+    n = tri_xform.shape[1] // 3
+    nb = min(nb, _round_up(n, 128))
+    n_pad = _round_up(max(n, nb), nb)
+    xu, xv, xw = _split_planes(tri_xform, n_pad)
+    attr = prim_attr
+    if n_pad != attr.shape[0]:
+        attr = jnp.concatenate(
+            [attr, jnp.zeros((n_pad - attr.shape[0], ATTR_COLS), attr.dtype)]
+        )
+    m = mat_attr.shape[0]
+    m_pad = _round_up(m, 8)
+    mat = mat_attr
+    if m_pad != m:
+        mat = jnp.concatenate([mat, jnp.zeros((m_pad - m, MAT_COLS), mat.dtype)])
+
+    g = r // 128
+    tg = _TILE // 128
+    kernel = functools.partial(
+        _gbuffer_kernel, n_pad=n_pad, nb=nb, m_pad=m_pad, width=width,
+        height=height, aa_jitter=aa_jitter, single_sided=single_sided,
+    )
+    full = lambda i: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(r // _TILE,),
+        in_specs=[
+            pl.BlockSpec((2, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, n_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, ATTR_COLS), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, MAT_COLS), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (GB_CH, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((GB_CH, g, 128), jnp.float32),
+        interpret=interpret,
+    )(xy_grid, cam_vec, lcam_vec, jnp.asarray([looper], jnp.uint32),
+      xu, xv, xw, attr, mat)
+
+
+def make_xy_grid(width: int, height: int):
+    """Constant raster-coordinate planes [2, R/128, 128] (f32 x, y)."""
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    r = width * height
+    return jnp.stack([xs.reshape(r // 128, 128), ys.reshape(r // 128, 128)])
+
+
+# ---------------------------------------------------------------------------
+# kernel R: RIS + winner visibility + temporal merge
+
+
+def _reuse_kernel(w0_ref, gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
+                  lumaux_ref, tri_lo_ref, light_ref, xu_ref, xv_ref, xw_ref,
+                  prev_ref, looper_ref, out_ref, win_ref, sem,
+                  *, l_pad, k, single_sided, n_pad, nb, window, temporal,
+                  temporal_clamp):
+    cg = gb_ref.shape[1]
+    b = cg * 128
+
+    def ch(i):
+        return gb_ref[i, :, :].reshape(b)
+
+    tile_id = pl.program_id(0)
+    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    looper = looper_ref[0]
+
+    # start the temporal window DMA first so it overlaps the RIS stage
+    if temporal:
+        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        dma = pltpu.make_async_copy(
+            prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
+        )
+        dma.start()
+
+    px, py, pz = ch(G_POS), ch(G_POS + 1), ch(G_POS + 2)
+    nx, ny, nz = ch(G_NORM), ch(G_NORM + 1), ch(G_NORM + 2)
+    dxv, dyv, dzv = ch(G_DIR), ch(G_DIR + 1), ch(G_DIR + 2)
+    wox, woy, woz = -dxv, -dyv, -dzv
+    mtype = ch(G_MTYPE)
+    metallic = ch(G_METAL)
+    roughness = ch(G_ROUGH)
+    shade = ch(G_SHADE) > 0.5
+    prim_origin = ch(G_PRIM).astype(jnp.int32)
+
+    # shading normal orientation (models/restir_di.py: non-dielectric
+    # normals flip toward wo)
+    ndotwo = _dot3(nx, ny, nz, wox, woy, woz)
+    flip = (mtype != _DIELECTRIC) & (ndotwo < 0.0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+    # ---- RIS candidate stage (identical math to ris_kernel._ris_kernel)
+    ndx = _dot3(nx, ny, nz, px, py, pz)
+    ones_b = jnp.ones_like(px)
+    phi_a = jnp.stack([nx, ny, nz, -ndx], axis=0)
+    a = dot_f32x3(psi_a_ref[:, :], phi_a)
+    phi_b = jnp.stack([px, py, pz, ones_b], axis=0)
+    bb = dot_f32x3(psi_b_ref[:, :], phi_b)
+    x2 = px * px + py * py + pz * pz
+    phi_c = jnp.stack([-2.0 * px, -2.0 * py, -2.0 * pz, ones_b, x2], axis=0)
+    d2 = jnp.maximum(dot_f32x3(psi_c_ref[:, :], phi_c), 1e-8)
+    side = bb > 0.0 if single_sided else jnp.abs(bb) > 0.0
+    lum_area = lumaux_ref[:, 0:1]
+    rad = lumaux_ref[:, 1:2]
+    above = (a + rad) > 0.0
+    a_eff = jnp.maximum(a, 0.1 * rad)
+    t = jnp.where(above & side, lum_area * a_eff * jnp.abs(bb) / (d2 * d2), 0.0)
+
+    cdf = dot_exact_a(tri_lo_ref[:, :], t)
+    total = cdf[l_pad - 1, :]
+    has_any = total > 0.0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (l_pad, b), 0)
+    light_split = _hi_mid_lo(light_ref[:, :])
+
+    zero = jnp.zeros_like(px)
+    r_li_x, r_li_y, r_li_z = zero, zero, zero
+    r_wi_x, r_wi_y, r_wi_z = zero, zero, zero
+    r_dist = zero
+    r_weight = zero
+
+    for kk in range(k):
+        u1, u2, u3, u4 = _pcg4d(
+            pix, jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), _CTR_RIS + kk, jnp.uint32),
+            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
+        )
+        r1, r2, r3, r4 = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
+
+        thresh = r1 * total
+        below = (cdf <= thresh[None, :]).astype(jnp.int32)
+        idx = jnp.minimum(jnp.sum(below, axis=0), l_pad - 1)
+        onehot = row_ids == idx[None, :]
+        q = jnp.sum(jnp.where(onehot, t, 0.0), axis=0) / jnp.maximum(total, 1e-20)
+        fetch = dot_exact_b(
+            light_ref[:, :], onehot.astype(jnp.float32), a_split=light_split
+        )
+
+        sr = jnp.sqrt(jnp.maximum(r3, 0.0))
+        bu = 1.0 - sr
+        bv = r2 * sr
+        sx = fetch[0] + bu * fetch[3] + bv * fetch[6]
+        sy = fetch[1] + bu * fetch[4] + bv * fetch[7]
+        sz = fetch[2] + bu * fetch[5] + bv * fetch[8]
+        lnx, lny, lnz = fetch[9], fetch[10], fetch[11]
+        li_x, li_y, li_z = fetch[12], fetch[13], fetch[14]
+        area = fetch[15]
+
+        tox, toy, toz = sx - px, sy - py, sz - pz
+        dist2 = jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-20)
+        inv_dist = jax.lax.rsqrt(dist2)
+        dist = dist2 * inv_dist
+        wix, wiy, wiz = tox * inv_dist, toy * inv_dist, toz * inv_dist
+
+        cos_l = _dot3(lnx, lny, lnz, wix, wiy, wiz)
+        pdf = q * dist2 / jnp.maximum(area * jnp.abs(cos_l), 1e-20)
+        if single_sided:
+            pdf = jnp.where(cos_l <= -1e-6, pdf, -1.0)
+        pdf = jnp.where(has_any & (q > 0.0), pdf, -1.0)
+
+        f_lum = _eval_bsdf_lum(
+            mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
+            wix, wiy, wiz,
+        )
+        li_lum = 0.2126 * li_x + 0.7152 * li_y + 0.0722 * li_z
+        cos_s = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0)
+        p_hat = li_lum * f_lum * cos_s
+        w = p_hat / pdf
+        bad = jnp.isnan(w) | jnp.isinf(w) | (pdf <= 0.0)
+        w = jnp.where(bad | ~shade, 0.0, w)
+
+        r_weight_new = r_weight + w
+        take = shade & (r4 * r_weight_new < w)
+        r_li_x = jnp.where(take, li_x, r_li_x)
+        r_li_y = jnp.where(take, li_y, r_li_y)
+        r_li_z = jnp.where(take, li_z, r_li_z)
+        r_wi_x = jnp.where(take, wix, r_wi_x)
+        r_wi_y = jnp.where(take, wiy, r_wi_y)
+        r_wi_z = jnp.where(take, wiz, r_wi_z)
+        r_dist = jnp.where(take, dist, r_dist)
+        r_weight = jnp.where(shade, r_weight_new, r_weight)
+
+    r_m = jnp.where(shade, float(k), 0.0)
+
+    # ---- winner visibility (restir.cu:172-176)
+    ox = px + r_wi_x * 1e-5
+    oy = py + r_wi_y * 1e-5
+    oz = pz + r_wi_z * 1e-5
+    limit = r_dist * (1.0 - 1e-3) - 1e-4
+    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)
+    dh4 = jnp.stack([r_wi_x, r_wi_y, r_wi_z, jnp.zeros_like(ox)], axis=0)
+    oh4_split = _hi_lo(oh4)
+    dh4_split = _hi_lo(dh4)
+
+    def vis_body(i, occluded):
+        col = pl.multiple_of(i * nb, nb)
+        xu = xu_ref[:, pl.ds(col, nb)]
+        xv = xv_ref[:, pl.ds(col, nb)]
+        xw = xw_ref[:, pl.ds(col, nb)]
+        oou = dot_f32x3(xu.T, None, b_split=oh4_split)
+        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
+        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
+        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
+        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
+        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
+        nondeg = jnp.abs(ddw) >= 1e-12
+        tt = -oow / jnp.where(nondeg, ddw, 1.0)
+        uu = oou + tt * ddu
+        vv = oov + tt * ddv
+        tri_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0) + i * nb
+        blocked = (
+            nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt < limit[None, :])
+            & (tri_ids != prim_origin[None, :])
+        )
+        return jnp.maximum(
+            occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
+        )
+
+    occluded = jax.lax.fori_loop(0, n_pad // nb, vis_body, jnp.zeros_like(px))
+    r_weight = jnp.where(occluded > 0.5, 0.0, r_weight)
+
+    # ---- temporal reuse (restir.cu:180-185; findTemporalNeighbor :21-45)
+    if temporal:
+        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        dma = pltpu.make_async_copy(
+            prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
+        )
+        dma.wait()
+        motion = ch(G_MOTION).astype(jnp.int32)
+        rel = motion - w0
+        in_win = (motion >= 0) & (rel >= 0) & (rel < window)
+        rel = jnp.where(in_win, rel, 0)
+
+        win_rows = jax.lax.broadcasted_iota(jnp.int32, (window, b), 0)
+        onehot = (win_rows == rel[None, :]).astype(jnp.float32)
+        gathered = dot_exact_b(win_ref[:, :], onehot)  # [PT_CH, B]
+
+        n_li_x, n_li_y, n_li_z = gathered[P_LI], gathered[P_LI + 1], gathered[P_LI + 2]
+        n_wi_x, n_wi_y, n_wi_z = gathered[P_WI], gathered[P_WI + 1], gathered[P_WI + 2]
+        n_dist = gathered[P_DIST]
+        n_weight = gathered[P_WEIGHT]
+        n_m = gathered[P_M]
+        n_prim = gathered[P_PRIMR]
+        n_nx, n_ny, n_nz = gathered[P_NORM], gathered[P_NORM + 1], gathered[P_NORM + 2]
+        n_depth = gathered[P_DEPTH]
+
+        # geometric similarity rejection (unflipped gbuffer normals)
+        g_nx, g_ny, g_nz = ch(G_NORM), ch(G_NORM + 1), ch(G_NORM + 2)
+        depth = ch(G_DEPTH)
+        prim_remap = ch(G_PRIMR)
+        ok = in_win & (prim_remap > _NULL)
+        ok = ok & (n_prim == prim_remap)
+        ok = ok & (jnp.abs(_dot3(g_nx, g_ny, g_nz, n_nx, n_ny, n_nz)) >= 0.9)
+        ok = ok & (jnp.abs(n_depth - depth) <= depth * 0.1)
+        ok = ok & shade
+        # neighbor reservoir validity (restir.h:51-53)
+        n_bad = jnp.isnan(n_weight) | jnp.isinf(n_weight) | (n_weight < 0.0)
+        ok = ok & ~n_bad
+
+        # preClampedMerge<cap> (restir.h:95-102): clamp rhs history to
+        # (cap-1)*a.M, then merge
+        cap = float(temporal_clamp)
+        limit_m = jnp.where(r_m > 0.0, (cap - 1.0) * r_m, n_m)
+        over = n_m > limit_m
+        scale = limit_m / jnp.maximum(n_m, 1.0)
+        n_weight = jnp.where(over, n_weight * scale, n_weight)
+        n_m = jnp.where(over, limit_m, n_m)
+
+        u1, _, _, _ = _pcg4d(
+            pix, jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), _CTR_TEMPORAL, jnp.uint32),
+            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
+        )
+        r_t = _unit(u1)
+        w_new = jnp.where(ok, r_weight + n_weight, r_weight)
+        m_new = jnp.where(ok, r_m + n_m, r_m)
+        take = ok & (r_t * w_new < n_weight)
+        r_li_x = jnp.where(take, n_li_x, r_li_x)
+        r_li_y = jnp.where(take, n_li_y, r_li_y)
+        r_li_z = jnp.where(take, n_li_z, r_li_z)
+        r_wi_x = jnp.where(take, n_wi_x, r_wi_x)
+        r_wi_y = jnp.where(take, n_wi_y, r_wi_y)
+        r_wi_z = jnp.where(take, n_wi_z, r_wi_z)
+        r_dist = jnp.where(take, n_dist, r_dist)
+        r_weight = w_new
+        r_m = m_new
+
+    # check_validity (restir.h:55-59)
+    bad = jnp.isnan(r_weight) | jnp.isinf(r_weight) | (r_weight < 0.0)
+    r_weight = jnp.where(bad, 0.0, r_weight)
+    r_m = jnp.where(bad, 0.0, r_m)
+
+    def put(i, val):
+        out_ref[i, :, :] = val.reshape(cg, 128)
+
+    put(P_LI, r_li_x)
+    put(P_LI + 1, r_li_y)
+    put(P_LI + 2, r_li_z)
+    put(P_WI, r_wi_x)
+    put(P_WI + 1, r_wi_y)
+    put(P_WI + 2, r_wi_z)
+    put(P_DIST, r_dist)
+    put(P_WEIGHT, r_weight)
+    put(P_M, r_m)
+    put(P_PRIMR, ch(G_PRIMR))
+    put(P_NORM, ch(G_NORM))
+    put(P_NORM + 1, ch(G_NORM + 1))
+    put(P_NORM + 2, ch(G_NORM + 2))
+    put(P_DEPTH, ch(G_DEPTH))
+    put(14, jnp.zeros_like(r_weight))
+    put(15, jnp.zeros_like(r_weight))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "single_sided", "nb", "window", "temporal", "temporal_clamp",
+    "interpret"))
+def reuse_pallas(
+    gb_pack, prev_pack, looper,
+    light_verts, light_normal, light_radiance, light_area, light_center,
+    light_radius, tri_xform,
+    k: int = 4, single_sided: bool = True, nb: int = 128,
+    window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
+    interpret: bool = False,
+):
+    """RIS + visibility + temporal merge. gb_pack: [GB_CH, R/128, 128];
+    prev_pack: [PT_CH, R] (previous frame's output of this kernel, flat).
+    Returns the post-temporal pt pack [PT_CH, R/128, 128]."""
+    g = gb_pack.shape[1]
+    r = g * 128
+    nl = light_verts.shape[0]
+    l_pad = _round_up(max(nl, 128), 128)
+    psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table = build_light_tables(
+        light_verts, light_normal, light_radiance, light_area, light_center,
+        light_radius, l_pad,
+    )
+
+    n_tri = tri_xform.shape[1] // 3
+    nb = min(nb, _round_up(n_tri, 128))
+    n_pad = _round_up(max(n_tri, nb), nb)
+    xu, xv, xw = _split_planes(tri_xform, n_pad)
+
+    # per-tile temporal window starts (scalar-prefetched): the smallest
+    # valid motion index in the tile, clamped so the window stays in
+    # range. Lanes whose motion falls outside [w0, w0+window) reject.
+    n_tiles = r // _TILE
+    motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
+    m_valid = jnp.where(motion >= 0, motion, r)
+    w0 = jnp.min(m_valid, axis=1)
+    # HBM DMA starts must be 128-aligned on the lane dim (Mosaic tiling)
+    w0 = (w0 // 128) * 128
+    w0 = jnp.clip(w0, 0, max(r - window, 0))
+
+    kernel = functools.partial(
+        _reuse_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
+        n_pad=n_pad, nb=nb, window=window, temporal=temporal,
+        temporal_clamp=temporal_clamp,
+    )
+    tg = _TILE // 128
+    full = lambda i: (0, 0)  # noqa: E731
+    full_p = lambda i, *_: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((GB_CH, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 5), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 2), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, l_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LIGHT_COLS, l_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (PT_CH, tg, 128), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((PT_CH, window), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((PT_CH, g, 128), jnp.float32),
+        interpret=interpret,
+    )(w0, gb_pack, psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table,
+      xu, xv, xw, prev_pack, jnp.asarray([looper], jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
+# kernel S: spatial reuse + shade + accumulate
+
+
+def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
+                    sc_ref, acc_out_ref, nbr_ref, sem, *, width, height,
+                    neighbors, radius, accumulate, reuse_spatial):
+    cg = gb_ref.shape[1]
+    b = cg * 128
+    tile_id = pl.program_id(0)
+    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    looper = sc_ref[0]
+    iteration = sc_ref[1]
+
+    def gch(i):
+        return gb_ref[i, :, :].reshape(b)
+
+    def pch(ref, i):
+        return ref[i, :, :].reshape(b)
+
+    x = gch(G_X)
+    y = gch(G_Y)
+    depth = gch(G_DEPTH)
+    prim_remap = gch(G_PRIMR)
+    g_nx, g_ny, g_nz = gch(G_NORM), gch(G_NORM + 1), gch(G_NORM + 2)
+    shade = gch(G_SHADE) > 0.5
+
+    r_li_x, r_li_y, r_li_z = pch(pt_self_ref, P_LI), pch(pt_self_ref, P_LI + 1), pch(pt_self_ref, P_LI + 2)
+    r_wi_x, r_wi_y, r_wi_z = pch(pt_self_ref, P_WI), pch(pt_self_ref, P_WI + 1), pch(pt_self_ref, P_WI + 2)
+    r_dist = pch(pt_self_ref, P_DIST)
+    r_weight = pch(pt_self_ref, P_WEIGHT)
+    r_m = pch(pt_self_ref, P_M)
+
+    if reuse_spatial:
+        # aggregate neighbor reservoir (mergeSpatialNeighborDirect,
+        # restir.cu:87-100); offsets drawn per (tile, neighbor, frame)
+        zero = jnp.zeros_like(r_weight)
+        a_li_x, a_li_y, a_li_z = zero, zero, zero
+        a_wi_x, a_wi_y, a_wi_z = zero, zero, zero
+        a_dist = zero
+        a_weight = zero
+        a_m = zero
+
+        nwin = b + 128
+        # issue ALL neighbor window DMAs up front (they run on parallel
+        # DMA engines; serializing start/wait pairs costs ~2.5 us each,
+        # ~30 ms/frame at 1080p)
+        for i in range(neighbors):
+            start = pl.multiple_of(off_ref[0, i, 0], 128)
+            pltpu.make_async_copy(
+                pt_hbm_ref.at[:, pl.ds(start, nwin)], nbr_ref.at[i], sem.at[i]
+            ).start()
+        for i in range(neighbors):
+            # per-(tile, neighbor, frame) offsets, precomputed in XLA:
+            # (128-aligned dma start, dx, dy, lane residue, valid). The
+            # window is fetched 128 lanes wide of the target and rotated
+            # by the residue (HBM DMA starts must be 128-aligned).
+            start = pl.multiple_of(off_ref[0, i, 0], 128)
+            dxs = off_ref[0, i, 1]
+            dys = off_ref[0, i, 2]
+            delta = off_ref[0, i, 3]
+            usable = off_ref[0, i, 4] > 0
+            pltpu.make_async_copy(
+                pt_hbm_ref.at[:, pl.ds(start, nwin)], nbr_ref.at[i], sem.at[i]
+            ).wait()
+            rolled = pltpu.roll(nbr_ref[i, :, :], nwin - delta, axis=1)
+            dxf = dxs.astype(jnp.float32)
+            dyf = dys.astype(jnp.float32)
+            wf = float(width)
+            npx = x + dxf
+            npy = y + dyf
+            # the fetch is a LINEAR window: lanes whose x+dx crosses the
+            # row edge received a wrapped pixel — reject them (same
+            # bounds mask as the XLA path's rolled-image fetch)
+            ok = (
+                usable
+                & (npx >= 0.0) & (npx < wf)
+                & (npy >= 0.0) & (npy < float(height))
+            )
+
+            n_prim = rolled[P_PRIMR, :b]
+            n_nx = rolled[P_NORM, :b]
+            n_ny = rolled[P_NORM + 1, :b]
+            n_nz = rolled[P_NORM + 2, :b]
+            n_depth = rolled[P_DEPTH, :b]
+            n_weight = rolled[P_WEIGHT, :b]
+            n_m = rolled[P_M, :b]
+
+            ok = ok & (n_prim == prim_remap)
+            ok = ok & (_dot3(g_nx, g_ny, g_nz, n_nx, n_ny, n_nz) >= 0.9)
+            ok = ok & (jnp.abs(depth - n_depth) <= depth * 0.1)
+            n_bad = jnp.isnan(n_weight) | jnp.isinf(n_weight) | (n_weight < 0.0)
+            ok = ok & ~n_bad
+
+            u1, _, _, _ = _pcg4d(
+                pix, jnp.full((b,), looper, jnp.uint32),
+                jnp.full((b,), _CTR_SPATIAL + i, jnp.uint32),
+                jnp.full((b,), _SALT_RESTIR, jnp.uint32),
+            )
+            r3 = _unit(u1)
+            w_new = jnp.where(ok, a_weight + n_weight, a_weight)
+            m_new = jnp.where(ok, a_m + n_m, a_m)
+            take = ok & (r3 * w_new < n_weight)
+            a_li_x = jnp.where(take, rolled[P_LI, :b], a_li_x)
+            a_li_y = jnp.where(take, rolled[P_LI + 1, :b], a_li_y)
+            a_li_z = jnp.where(take, rolled[P_LI + 2, :b], a_li_z)
+            a_wi_x = jnp.where(take, rolled[P_WI, :b], a_wi_x)
+            a_wi_y = jnp.where(take, rolled[P_WI + 1, :b], a_wi_y)
+            a_wi_z = jnp.where(take, rolled[P_WI + 2, :b], a_wi_z)
+            a_dist = jnp.where(take, rolled[P_DIST, :b], a_dist)
+            a_weight = w_new
+            a_m = m_new
+
+        # merge(self, agg, r_s) (restir.cu:205-210)
+        a_bad = jnp.isnan(a_weight) | jnp.isinf(a_weight) | (a_weight < 0.0)
+        s_bad = jnp.isnan(r_weight) | jnp.isinf(r_weight) | (r_weight < 0.0)
+        ok = ~a_bad & ~s_bad & shade
+        u1, _, _, _ = _pcg4d(
+            pix, jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), _CTR_SPATIAL + neighbors, jnp.uint32),
+            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
+        )
+        r_s = _unit(u1)
+        w_new = jnp.where(ok, r_weight + a_weight, r_weight)
+        m_new = jnp.where(ok, r_m + a_m, r_m)
+        take = ok & (r_s * w_new < a_weight)
+        r_li_x = jnp.where(take, a_li_x, r_li_x)
+        r_li_y = jnp.where(take, a_li_y, r_li_y)
+        r_li_z = jnp.where(take, a_li_z, r_li_z)
+        r_wi_x = jnp.where(take, a_wi_x, r_wi_x)
+        r_wi_y = jnp.where(take, a_wi_y, r_wi_y)
+        r_wi_z = jnp.where(take, a_wi_z, r_wi_z)
+        r_dist = jnp.where(take, a_dist, r_dist)
+        r_weight = w_new
+        r_m = m_new
+
+    # ---- shade (restir.cu:216-230; demodulated material => gray BSDF,
+    # see models/restir_di.py step 5)
+    mtype = gch(G_MTYPE)
+    metallic = gch(G_METAL)
+    roughness = gch(G_ROUGH)
+    wox, woy, woz = -gch(G_DIR), -gch(G_DIR + 1), -gch(G_DIR + 2)
+    ndotwo = _dot3(g_nx, g_ny, g_nz, wox, woy, woz)
+    flip = (mtype != _DIELECTRIC) & (ndotwo < 0.0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    snx, sny, snz = g_nx * sgn, g_ny * sgn, g_nz * sgn
+    f_lum = _eval_bsdf_lum(
+        mtype, metallic, roughness, snx, sny, snz, wox, woy, woz,
+        r_wi_x, r_wi_y, r_wi_z,
+    )
+    li_lum = 0.2126 * r_li_x + 0.7152 * r_li_y + 0.0722 * r_li_z
+    inv_bad = jnp.isnan(r_weight) | jnp.isinf(r_weight) | (r_weight < 0.0)
+    w_big = r_weight / jnp.maximum(r_m, 1.0)
+    scale = w_big / jnp.maximum(li_lum, 1e-20)
+    live = shade & ~inv_bad & (f_lum > 0.0) & (li_lum > 0.0)
+    scale = jnp.where(live, scale, 0.0)
+    out_r = r_li_x * scale
+    out_g = r_li_y * scale
+    out_b = r_li_z * scale
+
+    def guard(v):
+        return jnp.where(jnp.isnan(v) | jnp.isinf(v), 0.0, v)
+
+    out_r, out_g, out_b = guard(out_r), guard(out_g), guard(out_b)
+
+    is_light = gch(G_LIGHT) > 0.5
+    miss = gch(G_MISS) > 0.5
+    one = is_light | miss
+    out_r = jnp.where(one, 1.0, out_r)
+    out_g = jnp.where(one, 1.0, out_g)
+    out_b = jnp.where(one, 1.0, out_b)
+
+    # modulate by albedo (restir.cu:229)
+    out_r = out_r * gch(G_ALB)
+    out_g = out_g * gch(G_ALB + 1)
+    out_b = out_b * gch(G_ALB + 2)
+
+    if accumulate:
+        # Mosaic lacks a u32 -> f32 cast; go through i32
+        it = iteration.astype(jnp.int32).astype(jnp.float32)
+        inv = 1.0 / (it + 1.0)
+        out_r = (pch(acc_in_ref, 0) * it + out_r) * inv
+        out_g = (pch(acc_in_ref, 1) * it + out_g) * inv
+        out_b = (pch(acc_in_ref, 2) * it + out_b) * inv
+
+    acc_out_ref[0, :, :] = out_r.reshape(cg, 128)
+    acc_out_ref[1, :, :] = out_g.reshape(cg, 128)
+    acc_out_ref[2, :, :] = out_b.reshape(cg, 128)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "neighbors", "radius", "accumulate", "reuse_spatial",
+    "interpret"), donate_argnums=(3,))
+def spatial_shade_pallas(
+    gb_pack, pt_pack, pt_flat, accum, looper, iteration,
+    width: int, height: int, neighbors: int = 5, radius: float = 5.0,
+    accumulate: bool = True, reuse_spatial: bool = True,
+    interpret: bool = False,
+):
+    """Spatial merges + shading + running-mean accumulation.
+
+    gb_pack/pt_pack: [C, R/128, 128]; pt_flat: the SAME pt data as a flat
+    [PT_CH, R] array (neighbor windows are DMA'd from HBM); accum:
+    [3, R/128, 128] (donated; aliased to the output)."""
+    from ...utils import rng as rngmod
+
+    g = gb_pack.shape[1]
+    r = g * 128
+    n_tiles = r // _TILE
+
+    # per-(tile, neighbor, frame) disk offsets (see module docstring):
+    # (dma start, dx, dy, valid) precomputed in XLA, SMEM-blocked per tile
+    tiles = jnp.arange(n_tiles, dtype=jnp.uint32)
+    cols = []
+    for i in range(neighbors):
+        s1, s2, _, _ = rngmod.uniform4(
+            tiles, looper, _CTR_SPATIAL + i, rngmod.SALT_RESTIR
+        )
+        rr = jnp.sqrt(s1) * radius
+        theta = s2 * (2.0 * 3.14159265358979)
+        dx = (0.5 + rr * jnp.cos(theta)).astype(jnp.int32)
+        dy = (0.5 + rr * jnp.sin(theta)).astype(jnp.int32)
+        off = dy * width + dx
+        start0 = tiles.astype(jnp.int32) * _TILE + off
+        start_a = (start0 // 128) * 128  # 128-aligned DMA start
+        delta = start0 - start_a  # lane residue, undone in-kernel
+        valid = (
+            (start_a >= 0) & (start_a <= r - _TILE - 128)
+            & ~((dx == 0) & (dy == 0))
+        )
+        start_a = jnp.clip(start_a, 0, r - _TILE - 128)
+        cols.append(
+            jnp.stack([start_a, dx, dy, delta, valid.astype(jnp.int32)], -1)
+        )
+    offs = jnp.stack(cols, axis=1)  # [T, N, 5] i32
+
+    kernel = functools.partial(
+        _spatial_kernel, width=width, height=height, neighbors=neighbors,
+        radius=radius, accumulate=accumulate, reuse_spatial=reuse_spatial,
+    )
+    tg = _TILE // 128
+    sc = jnp.stack([jnp.asarray(looper, jnp.uint32),
+                    jnp.asarray(iteration, jnp.uint32)])
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, neighbors, 5), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GB_CH, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT_CH, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((neighbors, PT_CH, _TILE + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((neighbors,)),
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(offs, gb_pack, pt_pack, pt_flat, accum, sc)

@@ -41,6 +41,59 @@ from jax.experimental.pallas import tpu as pltpu
 NULL_PRIMITIVE = -1
 _BIG = 3.0e38  # plain float: jnp constants may not be captured by kernels
 
+
+# ---------------------------------------------------------------------------
+# bf16-split matmuls.
+#
+# Mosaic's Precision.HIGHEST is a 6-pass bf16 emulation; HIGH (3-pass) is
+# unimplemented (BASELINE.md). These helpers do the 3-pass split by hand:
+# a*b = ah*bh + ah*bl + al*bh with ah = rn_bf16(a), al = a - ah (exact in
+# f32), dropping the ~2^-16-relative al*bl term. Where one operand is
+# EXACTLY representable in bf16 (one-hot selectors, 0/1 triangular masks)
+# only the other side is split: 2 passes, f32-faithful.
+
+
+def _hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _hi_mid_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _bdot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def dot_f32x3(a, b, a_split=None, b_split=None):
+    """~f32 matmul from 3 bf16 MXU passes (vs HIGHEST's 6): ah*bh +
+    ah*bl + al*bh, dropping the ~2^-16-relative al*bl term. Pass
+    precomputed (hi, lo) splits to hoist them out of loops."""
+    ah, al = _hi_lo(a) if a_split is None else a_split
+    bh, bl = _hi_lo(b) if b_split is None else b_split
+    return _bdot(ah, bh) + (_bdot(ah, bl) + _bdot(al, bh))
+
+
+def dot_exact_a(a_exact, b, b_split=None):
+    """Matmul where `a_exact` is exactly bf16-representable (one-hot /
+    0-1 selector matrices): 3 bf16 passes against a hi/mid/lo split of
+    `b` recover all 24 f32 mantissa bits — f32-exact row selection."""
+    ab = a_exact.astype(jnp.bfloat16)
+    bh, bm, bl = _hi_mid_lo(b) if b_split is None else b_split
+    return _bdot(ab, bh) + (_bdot(ab, bm) + _bdot(ab, bl))
+
+
+def dot_exact_b(a, b_exact, a_split=None):
+    """Mirror of dot_exact_a with the exact operand on the right."""
+    bb = b_exact.astype(jnp.bfloat16)
+    ah, am, al = _hi_mid_lo(a) if a_split is None else a_split
+    return _bdot(ah, bb) + (_bdot(am, bb) + _bdot(al, bb))
+
 ATTR_COLS = 32  # v0(3) e01(3) e02(3) n0(3) n01(3) n02(3) t0(2) t01(2) t02(2) mat_id(1)
 MAT_COLS = 16  # type(1) base_color(3) metallic(1) roughness(1) ior(1) maps(4)
 
@@ -66,25 +119,22 @@ def _homogeneous(o_ref, d_ref):
     return oh, dh
 
 
-def _block_hits(oh, dh, xu_ref, xv_ref, xw_ref, i, nb):
-    """Hit test for one triangle block. Returns (dist, u, v) [B, nb]."""
+def _block_hits(oh_split, dh_split, xu_ref, xv_ref, xw_ref, i, nb):
+    """Hit test for one triangle block. Returns (dist, u, v) [B, nb].
+
+    oh_split/dh_split: precomputed (hi, lo) bf16 splits of the
+    homogeneous ray rows (hoisted out of the block loop)."""
     col = pl.multiple_of(i * nb, nb)
     xu = xu_ref[:, pl.ds(col, nb)]
     xv = xv_ref[:, pl.ds(col, nb)]
     xw = xw_ref[:, pl.ds(col, nb)]
 
-    oou = jnp.dot(oh, xu, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    oov = jnp.dot(oh, xv, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    oow = jnp.dot(oh, xw, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    ddu = jnp.dot(dh, xu, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    ddv = jnp.dot(dh, xv, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    ddw = jnp.dot(dh, xw, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+    oou = dot_f32x3(None, xu, a_split=oh_split)
+    oov = dot_f32x3(None, xv, a_split=oh_split)
+    oow = dot_f32x3(None, xw, a_split=oh_split)
+    ddu = dot_f32x3(None, xu, a_split=dh_split)
+    ddv = dot_f32x3(None, xv, a_split=dh_split)
+    ddw = dot_f32x3(None, xw, a_split=dh_split)
 
     nondeg = jnp.abs(ddw) >= 1e-12
     t = -oow / jnp.where(nondeg, ddw, 1.0)
@@ -114,10 +164,11 @@ def _closest_kernel(o_ref, d_ref, xu_ref, xv_ref, xw_ref, out_ref,
     b = o_ref.shape[0]
     g = b // 128
     oh, dh = _homogeneous(o_ref, d_ref)
+    oh_split, dh_split = _hi_lo(oh), _hi_lo(dh)
 
     def body(i, carry):
         best_dist, best_prim, best_u, best_v = carry
-        dist, u, v = _block_hits(oh, dh, xu_ref, xv_ref, xw_ref, i, nb)
+        dist, u, v = _block_hits(oh_split, dh_split, xu_ref, xv_ref, xw_ref, i, nb)
         d_best, j, _, u_best, v_best = _block_best(dist, u, v, b, nb)
         closer = d_best < best_dist
         return (
@@ -151,18 +202,15 @@ def _primary_kernel(o_ref, d_ref, xu_ref, xv_ref, xw_ref, attr_ref, mat_ref,
     b = o_ref.shape[0]
     g = b // 128
     oh, dh = _homogeneous(o_ref, d_ref)
+    oh_split, dh_split = _hi_lo(oh), _hi_lo(dh)
 
     def body(i, carry):
         best_dist, best_prim, best_u, best_v, best_attr = carry
-        dist, u, v = _block_hits(oh, dh, xu_ref, xv_ref, xw_ref, i, nb)
+        dist, u, v = _block_hits(oh_split, dh_split, xu_ref, xv_ref, xw_ref, i, nb)
         d_best, j, oh_best, u_best, v_best = _block_best(dist, u, v, b, nb)
         col = pl.multiple_of(i * nb, nb)
         attr_block = attr_ref[pl.ds(col, nb), :]  # [Nb, ATTR_COLS]
-        attr_best = jnp.dot(
-            oh_best.astype(jnp.float32), attr_block,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        attr_best = dot_exact_a(oh_best.astype(jnp.float32), attr_block)
         closer = d_best < best_dist
         return (
             jnp.minimum(best_dist, d_best),
@@ -195,8 +243,7 @@ def _primary_kernel(o_ref, d_ref, xu_ref, xv_ref, xw_ref, attr_ref, mat_ref,
 
     mcol = jax.lax.broadcasted_iota(jnp.int32, (b, m_pad), 1)
     oh_mat = (mcol == mat_id[:, None]).astype(jnp.float32)
-    matp = jnp.dot(oh_mat, mat_ref[:, :], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    matp = dot_exact_a(oh_mat, mat_ref[:, :])
 
     out_ref[_CH_DIST, :, :] = _plane(jnp.where(missed, jnp.inf, best_dist), g)
     out_ref[_CH_U, :, :] = _plane(best_u, g)

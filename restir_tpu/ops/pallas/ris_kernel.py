@@ -149,20 +149,17 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
     looper = looper_ref[0]
 
     # ---- bilinear target weights over all lights (MXU), [L, B]
+    from .intersect_kernel import dot_exact_a, dot_exact_b, dot_f32x3, _hi_lo
+
     ndx = _dot3(nx, ny, nz, px, py, pz)
     ones_b = jnp.ones_like(px)
     phi_a = jnp.stack([nx, ny, nz, -ndx], axis=0)  # [4, B]
-    a = jnp.dot(psi_a_ref[:, :], phi_a, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    a = dot_f32x3(psi_a_ref[:, :], phi_a)
     phi_b = jnp.stack([px, py, pz, ones_b], axis=0)
-    bb = jnp.dot(psi_b_ref[:, :], phi_b, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    bb = dot_f32x3(psi_b_ref[:, :], phi_b)
     x2 = px * px + py * py + pz * pz
     phi_c = jnp.stack([-2.0 * px, -2.0 * py, -2.0 * pz, ones_b, x2], axis=0)
-    d2 = jnp.maximum(
-        jnp.dot(psi_c_ref[:, :], phi_c, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST), 1e-8
-    )
+    d2 = jnp.maximum(dot_f32x3(psi_c_ref[:, :], phi_c), 1e-8)
     side = bb > 0.0 if single_sided else jnp.abs(bb) > 0.0
     # conservative horizon cull + clamped selection weight — must mirror
     # ops/lights.sample_light_cdf exactly (see its comment)
@@ -175,12 +172,15 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
     )  # [L, B]
 
     # ---- CDF via lower-triangular matmul: cdf_l = sum_{l' <= l} T_l'
-    cdf = jnp.dot(tri_lo_ref[:, :], t, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    # (the 0/1 triangular mask is bf16-exact: 3 split passes, f32-exact)
+    cdf = dot_exact_a(tri_lo_ref[:, :], t)
     total = cdf[l_pad - 1, :]  # [B]
     has_any = total > 0.0
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (l_pad, b), 0)
+    from .intersect_kernel import _hi_mid_lo
+
+    light_split = _hi_mid_lo(light_ref[:, :])  # hoisted out of the K loop
 
     # ---- K candidate draws + streaming reservoir (all [B] registers)
     zero = jnp.zeros_like(px)
@@ -202,10 +202,8 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
         idx = jnp.minimum(jnp.sum(below, axis=0), l_pad - 1)  # [B]
         onehot = row_ids == idx[None, :]  # [L, B]
         q = jnp.sum(jnp.where(onehot, t, 0.0), axis=0) / jnp.maximum(total, 1e-20)
-        fetch = jnp.dot(
-            light_ref[:, :], onehot.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        fetch = dot_exact_b(
+            light_ref[:, :], onehot.astype(jnp.float32), a_split=light_split
         )  # [LIGHT_COLS, B]
 
         # uniform point on the triangle (mathUtil.h:94 sqrt warp, same
@@ -267,6 +265,8 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
     limit = r_dist * (1.0 - 1e-3) - 1e-4
     oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)  # [4, B]
     dh4 = jnp.stack([r_wi_x, r_wi_y, r_wi_z, jnp.zeros_like(ox)], axis=0)
+    oh4_split = _hi_lo(oh4)
+    dh4_split = _hi_lo(dh4)
 
     n_blocks = n_pad // nb
 
@@ -276,18 +276,12 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
         xv = xv_ref[:, pl.ds(col, nb)]
         xw = xw_ref[:, pl.ds(col, nb)]
         # [nb, B] hit matrices: triangles on sublanes, rays on lanes
-        oou = jnp.dot(xu.T, oh4, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        oov = jnp.dot(xv.T, oh4, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        oow = jnp.dot(xw.T, oh4, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        ddu = jnp.dot(xu.T, dh4, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        ddv = jnp.dot(xv.T, dh4, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        ddw = jnp.dot(xw.T, dh4, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        oou = dot_f32x3(xu.T, None, b_split=oh4_split)
+        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
+        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
+        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
+        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
+        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
         nondeg = jnp.abs(ddw) >= 1e-12
         tt = -oow / jnp.where(nondeg, ddw, 1.0)
         uu = oou + tt * ddu
@@ -327,6 +321,52 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def build_light_tables(light_verts, light_normal, light_radiance, light_area,
+                       light_center, light_radius, l_pad: int):
+    """Per-frame constant tables for the CDF candidate stage, padded to
+    l_pad rows: (psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table)."""
+    nl = light_verts.shape[0]
+
+    def padl(x, fill=0.0):
+        if x.shape[0] == l_pad:
+            return x.astype(jnp.float32)
+        pad = jnp.full((l_pad - x.shape[0],) + x.shape[1:], fill, jnp.float32)
+        return jnp.concatenate([x.astype(jnp.float32), pad])
+
+    lv = padl(light_verts.reshape(nl, 9))
+    ln = padl(light_normal)
+    lr = padl(light_radiance)
+    la = padl(light_area)
+    lc = padl(light_center)
+    lrad = padl(light_radius)
+
+    light_table = jnp.concatenate(
+        [
+            lv[:, 0:3],
+            lv[:, 3:6] - lv[:, 0:3],
+            lv[:, 6:9] - lv[:, 0:3],
+            ln,
+            lr,
+            la[:, None],
+        ],
+        axis=1,
+    ).T  # [LIGHT_COLS, L_pad]
+
+    psi_a = jnp.concatenate([lc, jnp.ones((l_pad, 1))], axis=1)  # [L, 4]
+    psi_b = jnp.concatenate(
+        [ln, -jnp.sum(ln * lc, axis=-1, keepdims=True)], axis=1
+    )
+    c2 = jnp.sum(lc * lc, axis=-1, keepdims=True)
+    # phi_c rows are (-2px, -2py, -2pz, 1, |x|^2); psi columns must be
+    # (cx, cy, cz, |c|^2, 1) so that the product is |x|^2 - 2 x.c + |c|^2
+    psi_c = jnp.concatenate([lc, c2, jnp.ones((l_pad, 1))], axis=1)
+    lum = 0.2126 * lr[:, 0] + 0.7152 * lr[:, 1] + 0.0722 * lr[:, 2]
+    # columns: (lum * area, bounding radius) — zero rows for padding
+    lum_aux = jnp.stack([lum * la, lrad], axis=1)  # [L, 2]
+    tri_lo = jnp.tril(jnp.ones((l_pad, l_pad), jnp.float32))
+    return psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "single_sided", "ctr_base", "tile", "nb", "interpret")
 )
@@ -343,43 +383,10 @@ def ris_cdf_pallas(
     r = pos.shape[0]
     nl = light_verts.shape[0]
     l_pad = _round_up(max(nl, 128), 128)
-
-    def padl(x, fill=0.0):
-        if x.shape[0] == l_pad:
-            return x.astype(jnp.float32)
-        pad = jnp.full((l_pad - x.shape[0],) + x.shape[1:], fill, jnp.float32)
-        return jnp.concatenate([x.astype(jnp.float32), pad])
-
-    lv = padl(light_verts.reshape(nl, 9))
-    ln = padl(light_normal)
-    lr = padl(light_radiance)
-    la = padl(light_area)
-    lc = padl(light_center)
-
-    light_table = jnp.concatenate(
-        [
-            lv[:, 0:3],
-            lv[:, 3:6] - lv[:, 0:3],
-            lv[:, 6:9] - lv[:, 0:3],
-            ln,
-            lr,
-            la[:, None],
-        ],
-        axis=1,
-    ).T  # [LIGHT_COLS, L_pad]
-
-    psi_a = jnp.concatenate([lc, jnp.ones((l_pad, 1))], axis=1)  # [L, 4]
-    psi_b = jnp.concatenate([ln, -jnp.sum(ln * lc, axis=-1, keepdims=True)], axis=1)
-    c2 = jnp.sum(lc * lc, axis=-1, keepdims=True)
-    # phi_c rows are (-2px, -2py, -2pz, 1, |x|^2); psi columns must be
-    # (cx, cy, cz, |c|^2, 1) so that the product is |x|^2 - 2 x.c + |c|^2
-    psi_c = jnp.concatenate([lc, c2, jnp.ones((l_pad, 1))], axis=1)
-    lum = 0.2126 * lr[:, 0] + 0.7152 * lr[:, 1] + 0.0722 * lr[:, 2]
-    lrad = padl(light_radius)
-    # columns: (lum * area, bounding radius) — zero rows for padding
-    lum_area = jnp.stack([lum * la, lrad], axis=1)  # [L, 2]
-
-    tri_lo = jnp.tril(jnp.ones((l_pad, l_pad), jnp.float32))
+    psi_a, psi_b, psi_c, lum_area, tri_lo, light_table = build_light_tables(
+        light_verts, light_normal, light_radiance, light_area, light_center,
+        light_radius, l_pad,
+    )
 
     r_pad = _round_up(r, tile)
 

@@ -25,7 +25,7 @@ import numpy as np
 from .config import DenoiserType, RenderConfig, TracerType
 from .models import denoiser as dn
 from .models import gbuffer as gbuf
-from .models import restir_di, restir_gi
+from .models import restir_di, restir_di_fused, restir_gi
 from .models.path_tracer import bvh_heatmap, pt_direct, pt_trace
 from .ops import reservoir as rsv
 from .ops.camera import Camera
@@ -46,7 +46,12 @@ class RenderState(NamedTuple):
     denoiser: dn.SVGFState  # SVGF temporal accumulation state
 
 
-def init_state(cfg: RenderConfig, cam: Camera) -> RenderState:
+def init_state(cfg: RenderConfig, cam: Camera, scene: Optional[SceneData] = None):
+    """Render state for the config. When `scene` is given and the fused
+    channel-major TPU pipeline applies (models/restir_di_fused.eligible),
+    returns its packed FusedDIState instead of the general RenderState."""
+    if scene is not None and restir_di_fused.eligible(scene, cfg):
+        return restir_di_fused.init_state(cfg, cam)
     r = cfg.num_pixels
     # copy the camera leaves: the state is donated by step_jit, so it
     # must not alias the caller's camera buffers
@@ -64,16 +69,18 @@ def init_state(cfg: RenderConfig, cam: Camera) -> RenderState:
     )
 
 
-def reset_iteration(state: RenderState) -> RenderState:
+def reset_iteration(state) -> RenderState:
     """The reference's camera-change reset (main.cpp:158-162): restart
     the running average only — reservoirs and G-buffer history survive,
     temporal reuse reprojects them."""
     return state._replace(iteration=jnp.int32(0))
 
 
-def reset_accumulation(state: RenderState) -> RenderState:
+def reset_accumulation(state):
     """Camera-change reset (main.cpp:155-162): restart averaging and
     temporal history, keep the RNG epoch monotonic."""
+    if isinstance(state, restir_di_fused.FusedDIState):
+        return restir_di_fused.reset_accumulation(state)
     return state._replace(
         iteration=jnp.int32(0),
         direct_illum=jnp.zeros_like(state.direct_illum),
@@ -179,6 +186,11 @@ def _step_jit_donated(scene, state, cam, cfg: RenderConfig):
     return step(scene, state, cam, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _step_fused_jit(scene, state, cam, cfg: RenderConfig):
+    return restir_di_fused.step_fused(scene, state, cam, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _step_jit_plain(scene, state, cam, cfg: RenderConfig):
     return step(scene, state, cam, cfg)
@@ -221,6 +233,9 @@ def step_jit(scene, state, cam, cfg: RenderConfig):
     arena, which keeps 1080p under the single-chip HBM budget — one
     fused program's peak-liveness exceeds it.
     """
+    if isinstance(state, restir_di_fused.FusedDIState):
+        return _step_fused_jit(scene, state, cam, cfg)
+
     split_gi = (
         cfg.tracer == TracerType.RESTIR_GI
         and cfg.num_pixels >= _SPLIT_GI_MIN_PIXELS
@@ -277,7 +292,15 @@ def step_jit(scene, state, cam, cfg: RenderConfig):
 
 def frame_to_image(frame: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     """Tonemap + quantize to uint8 [H, W, 3] — sendImageToPBO
-    (pathtrace.cu:30-106) / saveImage (main.cpp:105-144)."""
+    (pathtrace.cu:30-106) / saveImage (main.cpp:105-144).
+
+    Accepts both layouts: [R, 3] (general path) and channel-major
+    [3, R/128, 128] (fused path); tonemap/quantize run in the native
+    layout and only the final uint8 image is transposed."""
+    if frame.ndim == 3:  # [3, g, 128] channel-major
+        mapped = tonemap(frame, cfg.tone_mapping)
+        img = to_uint8(mapped).reshape(3, cfg.height, cfg.width)
+        return jnp.transpose(img, (1, 2, 0))
     mapped = tonemap(frame, cfg.tone_mapping)
     return to_uint8(mapped).reshape(cfg.height, cfg.width, 3)
 
@@ -298,7 +321,7 @@ def render(
     """Host driver: run `num_frames` jitted steps (mainLoop semantics).
     `camera_fn(frame_index) -> Camera` enables camera animation."""
     if state is None:
-        state = init_state(cfg, cam)
+        state = init_state(cfg, cam, scene)
     frame = jnp.zeros((cfg.num_pixels, 3))
     for i in range(num_frames):
         c = camera_fn(i) if camera_fn is not None else cam
@@ -315,8 +338,9 @@ def save_checkpoint(path: str, state: RenderState) -> None:
     np.savez(path, *[np.asarray(leaf) for leaf in leaves])
 
 
-def load_checkpoint(path: str, cfg: RenderConfig, cam: Camera) -> RenderState:
-    template = init_state(cfg, cam)
+def load_checkpoint(path: str, cfg: RenderConfig, cam: Camera,
+                    scene: Optional[SceneData] = None):
+    template = init_state(cfg, cam, scene)
     leaves, treedef = jax.tree.flatten(template)
     with np.load(path) as data:
         loaded = [data[f"arr_{i}"] for i in range(len(leaves))]

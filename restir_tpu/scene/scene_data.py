@@ -146,12 +146,18 @@ def has_env_map(scene: SceneData) -> bool:
 BRUTE_FORCE_MAX_PRIMS = 16384
 
 
-def traversal_arrays(scene: SceneData, intersector: str = "auto"):
-    from ..ops.intersect import TraversalArrays
-
+def traversal_method(scene: SceneData, intersector: str = "auto") -> str:
+    """Resolve the (static) intersector choice for a scene."""
     if intersector == "auto":
         n = scene.verts.shape[0]
         intersector = "brute" if n <= BRUTE_FORCE_MAX_PRIMS else "bvh"
+    return intersector
+
+
+def traversal_arrays(scene: SceneData, intersector: str = "auto"):
+    from ..ops.intersect import TraversalArrays
+
+    intersector = traversal_method(scene, intersector)
     return TraversalArrays(
         verts=scene.verts,
         bounds_lo=scene.bounds_lo,

@@ -104,13 +104,13 @@ def _render_loop(scene, state: ViewerState):
     with state.lock:
         cfg = state.cfg
         cam = make_camera(state.position, state.rotation)
-    rstate = renderer.init_state(cfg, cam)
+    rstate = renderer.init_state(cfg, cam, scene)
     t_last = time.time()
     while state.running:
         with state.lock:
             if state.cfg_changed:
                 cfg = state.cfg
-                rstate = renderer.init_state(cfg, cam)
+                rstate = renderer.init_state(cfg, cam, scene)
                 state.cfg_changed = False
             if state.cam_changed:
                 cam = make_camera(state.position, state.rotation)

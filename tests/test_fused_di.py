@@ -1,0 +1,219 @@
+"""Interpret-mode parity tests for the fused channel-major DI pipeline.
+
+The fused path (models/restir_di_fused + ops/pallas/fused_di) re-derives
+raygen, G-buffer, RIS, visibility, temporal and spatial reuse inside
+Pallas kernels. Each stage is compared against the general XLA pipeline
+(models/gbuffer + models/restir_di) it must reproduce. RNG streams are
+shared by construction, so RIS+temporal stages must match lane-for-lane
+(up to rare f32-rounding selection flips); the spatial stage draws its
+offsets per tile instead of per frame, so the full frame is compared
+statistically.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from restir_tpu import renderer
+from restir_tpu.config import RenderConfig, ReuseMode, TracerType
+from restir_tpu.models import gbuffer as gbuf
+from restir_tpu.models import restir_di, restir_di_fused
+from restir_tpu.models.restir_di_fused import FusedDIState
+from restir_tpu.ops import reservoir as rsv
+from restir_tpu.ops.camera import make_camera
+from restir_tpu.ops.pallas import fused_di as fk
+from restir_tpu.scene.procedural import many_light_scene
+
+W, H = 128, 16
+R = W * H
+
+
+@pytest.fixture(scope="module")
+def scene_cam():
+    scene, camkw = many_light_scene(n_lights=16, n_blocks=6, bvh_impl="numpy")
+    return scene, make_camera(**camkw)
+
+
+def _cfg(**kw):
+    kw.setdefault("width", W)
+    kw.setdefault("height", H)
+    kw.setdefault("tracer", TracerType.RESTIR_DI)
+    kw.setdefault("ris_mode", "cdf")
+    return RenderConfig(**kw)
+
+
+def _gb_pack(scene, cam, cfg, looper, last_cam=None):
+    xy = fk.make_xy_grid(cfg.width, cfg.height)
+    cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
+    lcam_vec = fk.pack_camera(last_cam or cam, cfg.width, cfg.height)
+    return fk.gbuffer_pack_pallas(
+        xy, cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, width=cfg.width, height=cfg.height,
+        aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
+        interpret=True,
+    )
+
+
+def _ch(pack, i):
+    return np.asarray(pack[i]).reshape(-1)
+
+
+def _ch3(pack, i):
+    return np.stack([_ch(pack, i + k) for k in range(3)], axis=-1)
+
+
+def test_gbuffer_pack_matches_general(scene_cam):
+    scene, cam = scene_cam
+    cfg = _cfg()
+    looper = jnp.uint32(7)
+
+    gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+    pack = _gb_pack(scene, cam, cfg, looper)
+
+    prim_ref = np.asarray(gb.prim_id)
+    prim_got = _ch(pack, fk.G_PRIMR).astype(np.int32)
+    same = prim_ref == prim_got
+    assert same.mean() > 0.995, same.mean()
+    ok = same & (prim_ref >= 0)
+
+    np.testing.assert_allclose(
+        np.asarray(gb.pos)[ok], _ch3(pack, fk.G_POS)[ok], rtol=1e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb.norm)[ok], _ch3(pack, fk.G_NORM)[ok], rtol=1e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d), _ch3(pack, fk.G_DIR), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb.albedo)[ok], _ch3(pack, fk.G_ALB)[ok], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb.depth)[ok], _ch(pack, fk.G_DEPTH)[ok], rtol=1e-3, atol=5e-4
+    )
+    # motion indices: integer reprojection may round differently only
+    # where the uv sits within float-eps of a pixel edge
+    m_ref = np.asarray(gb.motion)[ok]
+    m_got = _ch(pack, fk.G_MOTION)[ok].astype(np.int32)
+    assert (m_ref == m_got).mean() > 0.99
+    # mask channels
+    valid = prim_ref >= -1  # remap: -1 = miss, -2 = light
+    shade_ref = np.asarray(it.valid) & (prim_ref != gbuf.LIGHT_ID)
+    assert np.array_equal(
+        (_ch(pack, fk.G_SHADE) > 0.5)[same], shade_ref[same]
+    )
+    assert np.array_equal(
+        (_ch(pack, fk.G_MISS) > 0.5)[same],
+        (prim_ref == gbuf.NULL_PRIMITIVE)[same],
+    )
+
+
+def _general_post_temporal(scene, cam, cfg, state_res, gb, last_gb, it, mat,
+                           d, looper):
+    """The XLA pipeline's post-temporal reservoir (restir_direct steps
+    1-3 with spatial disabled) — what the fused reuse kernel must match."""
+    out, res_out = restir_di.restir_direct(
+        scene, gb, last_gb, it, mat, d, state_res,
+        cfg.replace(reuse=cfg.reuse & ReuseMode.TEMPORAL), looper,
+    )
+    return res_out
+
+
+def test_reuse_kernel_matches_general_ris_and_temporal(scene_cam, monkeypatch):
+    """Two frames: frame 0 (no history) checks RIS+visibility; frame 1
+    checks the temporal merge against the XLA path, lane-for-lane."""
+    scene, cam = scene_cam
+    cfg = _cfg(aa_jitter=False)
+
+    # force the XLA (non-pallas) branch of the general path
+    from restir_tpu.ops import intersect as ix
+    monkeypatch.setattr(ix, "_on_tpu", lambda: False)
+
+    res_general = rsv.zeros_direct(R)
+    prev_pack = jnp.zeros((fk.PT_CH, R))
+    last_gb = gbuf.empty_gbuffer(R)
+
+    for frame in range(2):
+        looper = jnp.uint32(frame)
+        gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+        res_general = _general_post_temporal(
+            scene, cam, cfg, res_general, gb, last_gb, it, mat, d, looper
+        )
+        pack = _gb_pack(scene, cam, cfg, looper)
+        pt = fk.reuse_pallas(
+            pack, prev_pack, looper,
+            scene.light_verts, scene.light_normal, scene.light_radiance,
+            scene.light_area, scene.light_center, scene.light_radius,
+            scene.tri_xform, k=cfg.cdf_candidates,
+            single_sided=cfg.single_sided_lights,
+            temporal=True, temporal_clamp=cfg.temporal_clamp,
+            interpret=True,
+        )
+        prev_pack = pt.reshape(fk.PT_CH, R)
+        last_gb = gb
+
+        w_ref = np.asarray(res_general.weight)
+        w_got = _ch(pt, fk.P_WEIGHT)
+        m_ref = np.asarray(res_general.m).astype(np.float32)
+        m_got = _ch(pt, fk.P_M)
+        li_ref = np.asarray(res_general.sample.li)
+        li_got = _ch3(pt, fk.P_LI)
+
+        same_pick = np.all(li_ref == li_got, axis=-1)
+        assert same_pick.mean() > 0.98, (frame, same_pick.mean())
+        ok = same_pick
+        close_w = np.isclose(w_ref[ok], w_got[ok], rtol=2e-3, atol=1e-5)
+        assert close_w.mean() > 0.99, (frame, close_w.mean())
+        assert (m_ref[ok] == m_got[ok]).mean() > 0.99, frame
+
+
+def test_fused_step_statistical_parity(scene_cam, monkeypatch):
+    """Full spatiotemporal fused frames vs the general pipeline: equal
+    image means (spatial offsets differ per design, so only statistics
+    match)."""
+    scene, cam = scene_cam
+    cfg = _cfg()
+    frames = 16
+
+    from restir_tpu.ops import intersect as ix
+    monkeypatch.setattr(ix, "_on_tpu", lambda: False)
+
+    # general pipeline
+    state = renderer.init_state(cfg, cam)
+    f_general = None
+    for _ in range(frames):
+        state, f_general = renderer._step_jit_plain(scene, state, cam, cfg)
+    img_general = np.asarray(f_general)
+
+    # fused pipeline (interpret mode)
+    fstate = restir_di_fused.init_state(cfg, cam)
+    f_fused = None
+    for _ in range(frames):
+        fstate, f_fused = restir_di_fused.step_fused(
+            scene, fstate, cam, cfg, interpret=True
+        )
+    img_fused = np.asarray(f_fused).reshape(3, -1).T
+
+    ref = img_general.mean()
+    assert abs(img_fused.mean() - ref) / max(ref, 1e-9) < 0.05, (
+        img_fused.mean(), ref
+    )
+    assert np.isfinite(img_fused).all()
+    # reservoir history must actually accumulate (temporal reuse alive)
+    assert np.asarray(fstate.pt_pack[fk.P_M]).mean() > 2 * cfg.cdf_candidates
+
+
+def test_fused_step_determinism(scene_cam):
+    scene, cam = scene_cam
+    cfg = _cfg()
+
+    def run():
+        st = restir_di_fused.init_state(cfg, cam)
+        for _ in range(3):
+            st, fr = restir_di_fused.step_fused(scene, st, cam, cfg,
+                                                interpret=True)
+        return np.asarray(fr)
+
+    a, b = run(), run()
+    assert np.array_equal(a, b)

@@ -322,15 +322,21 @@ def pack_camera(cam, width: int, height: int):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "aa_jitter",
-                                              "single_sided", "nb", "interpret"))
+                                              "single_sided", "nb", "tile",
+                                              "interpret"))
 def gbuffer_pack_pallas(
     xy_grid, cam_vec, lcam_vec, looper, tri_xform, prim_attr, mat_attr,
     width: int, height: int, aa_jitter: bool = True,
-    single_sided: bool = True, nb: int = 128, interpret: bool = False,
+    single_sided: bool = True, nb: int = 128, tile: int = 1024,
+    interpret: bool = False,
 ):
     """Returns the gbuffer pack [GB_CH, R/128, 128]."""
     r = width * height
-    assert r % _TILE == 0
+    # the tile must divide the pixel count; larger tiles were measured
+    # to blow the 16 MB VMEM budget with the [B, nb] hit matrices
+    if r % tile != 0:
+        tile = 1024
+    assert r % tile == 0
     n = tri_xform.shape[1] // 3
     nb = min(nb, _round_up(n, 128))
     n_pad = _round_up(max(n, nb), nb)
@@ -347,7 +353,7 @@ def gbuffer_pack_pallas(
         mat = jnp.concatenate([mat, jnp.zeros((m_pad - m, MAT_COLS), mat.dtype)])
 
     g = r // 128
-    tg = _TILE // 128
+    tg = tile // 128
     kernel = functools.partial(
         _gbuffer_kernel, n_pad=n_pad, nb=nb, m_pad=m_pad, width=width,
         height=height, aa_jitter=aa_jitter, single_sided=single_sided,
@@ -355,7 +361,7 @@ def gbuffer_pack_pallas(
     full = lambda i: (0, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
-        grid=(r // _TILE,),
+        grid=(r // tile,),
         in_specs=[
             pl.BlockSpec((2, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

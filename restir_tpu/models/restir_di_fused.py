@@ -43,7 +43,6 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     general models/restir_di.py pipeline)."""
     from ..ops.intersect import _on_tpu
     from ..models.restir_di import resolve_ris_mode
-    from ..scene.scene_data import traversal_method
 
     return (
         cfg.tracer == TracerType.RESTIR_DI
@@ -51,8 +50,11 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
         and fk.eligible(cfg, cfg.has_env_map, cfg.with_textures)
         and resolve_ris_mode(cfg) == "cdf"
         and cfg.denoiser in (DenoiserType.NONE, DenoiserType.EAW)
-        and traversal_method(scene, cfg.intersector) == "brute"
+        # scene geometry is HBM-resident and streamed per cluster, so
+        # there is no triangle-count ceiling on this path (the general
+        # pipeline's brute/bvh split does not apply)
         and cfg.sampler == "pcg4d"
+        and cfg.intersector in ("auto", "brute", "clustered")
     )
 
 
@@ -100,13 +102,13 @@ def step_fused(
     looper = state.looper
     r = cfg.num_pixels
 
-    xy = fk.make_xy_grid(cfg.width, cfg.height)
     cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
     lcam_vec = fk.pack_camera(state.last_camera, cfg.width, cfg.height)
 
     gb = fk.gbuffer_pack_pallas(
-        xy, cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
-        scene.mat_attr, width=cfg.width, height=cfg.height,
+        cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
+        width=cfg.width, height=cfg.height,
         aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
         interpret=interpret,
     )
@@ -115,7 +117,7 @@ def step_fused(
         gb, state.pt_pack.reshape(fk.PT_CH, r), looper,
         scene.light_verts, scene.light_normal, scene.light_radiance,
         scene.light_area, scene.light_center, scene.light_radius,
-        scene.tri_xform,
+        scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
         temporal_clamp=cfg.temporal_clamp, interpret=interpret,

@@ -110,6 +110,13 @@ P_NORM = 10  # 3
 P_DEPTH = 13
 PT_CH = 16  # padded to a multiple of 8 (14 used)
 
+# ---- rs (candidate reservoir) pack, kernel R1 -> R2 ([RS_CH, R]) ----
+RS_LI = 0  # 3
+RS_WI = 3  # 3
+RS_DIST = 6
+RS_W = 7
+RS_CH = 8
+
 _TILE = 1024
 
 
@@ -127,15 +134,33 @@ def eligible(cfg, scene_has_env: bool, with_textures: bool) -> bool:
 # kernel G: raygen + closest hit + gbuffer pack
 
 
-def _gbuffer_kernel(xy_ref, cam_ref, lcam_ref, looper_ref, xu_ref, xv_ref,
-                    xw_ref, attr_ref, mat_ref, out_ref, *, n_pad, nb, m_pad,
-                    width, height, aa_jitter, single_sided):
-    cg = xy_ref.shape[1]
+def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
+                    looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref, clb_ref,
+                    out_ref, ids_ref, ids_sem, xpb_ref, attrb_ref, geo_sem,
+                    *, n_pad, nb, m_pad, width, height, aa_jitter,
+                    single_sided):
+    # 2-D pixel tiles (8 rows x 128 cols): tight frusta for cluster
+    # culling; raster coords come from the grid position (no division)
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile = ti * pl.num_programs(1) + tj
+    cg = 8
     b = cg * 128
-    x = xy_ref[0, :, :].reshape(b)
-    y = xy_ref[1, :, :].reshape(b)
-    tile = pl.program_id(0)
-    pix = tile * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    xl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(jnp.float32)
+    yl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(jnp.float32)
+    x = (xl + (tj * 128).astype(jnp.float32)).reshape(b)
+    y = (yl + (ti * 8).astype(jnp.float32)).reshape(b)
+    # fetch this tile's cluster work list into SMEM (the full [T, K]
+    # table would blow the 1 MB SMEM budget as a prefetch operand; the
+    # table is FLAT [T*Kp] because row-slicing a 2-D i32 table trips
+    # Mosaic's (8,128) tiling alignment)
+    kp = ids_ref.shape[0]
+    ids_dma = pltpu.make_async_copy(
+        ids_hbm_ref.at[pl.ds(pl.multiple_of(tile * kp, 1024), kp)],
+        ids_ref, ids_sem,
+    )
+    ids_dma.start()
+    pix = (y * float(width) + x).astype(jnp.int32)
     looper = looper_ref[0]
 
     # --- camera raygen (Camera::sample, sceneStructs.h:69-86)
@@ -170,52 +195,148 @@ def _gbuffer_kernel(xy_ref, cam_ref, lcam_ref, looper_ref, xu_ref, xv_ref,
     oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)  # [B, 4]
     dh = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=1)
     oh_split, dh_split = _hi_lo(oh), _hi_lo(dh)
+    tiny = 1e-12
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, tiny, dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, tiny, dy)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny, tiny, dz)
 
-    def body(i, carry):
+    ids_dma.wait()
+    # geometry stays in HBM; each listed cluster's tri planes + attr
+    # rows stream through a double-buffered VMEM slot
+    count = counts_ref[tile]
+
+    def fetch(j, slot):
+        c = ids_ref[j]
+        col = pl.multiple_of(c * nb, nb)
+        pltpu.make_async_copy(
+            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
+            geo_sem.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            attr_hbm_ref.at[pl.ds(col, nb), :], attrb_ref.at[slot],
+            geo_sem.at[slot, 1],
+        ).start()
+
+    def fetch_wait(j, slot):
+        c = ids_ref[j]
+        col = pl.multiple_of(c * nb, nb)
+        pltpu.make_async_copy(
+            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
+            geo_sem.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            attr_hbm_ref.at[pl.ds(col, nb), :], attrb_ref.at[slot],
+            geo_sem.at[slot, 1],
+        ).wait()
+
+    @pl.when(count > 0)
+    def _():
+        fetch(0, 0)
+
+    def body(state):
+        i, _, carry = state
         best_dist, best_prim, best_u, best_v, best_attr = carry
-        col = pl.multiple_of(i * nb, nb)
-        xu = xu_ref[:, pl.ds(col, nb)]
-        xv = xv_ref[:, pl.ds(col, nb)]
-        xw = xw_ref[:, pl.ds(col, nb)]
-        oou = dot_f32x3(None, xu, a_split=oh_split)
-        oov = dot_f32x3(None, xv, a_split=oh_split)
-        oow = dot_f32x3(None, xw, a_split=oh_split)
-        ddu = dot_f32x3(None, xu, a_split=dh_split)
-        ddv = dot_f32x3(None, xv, a_split=dh_split)
-        ddw = dot_f32x3(None, xw, a_split=dh_split)
-        nondeg = jnp.abs(ddw) >= 1e-12
-        t = -oow / jnp.where(nondeg, ddw, 1.0)
-        u = oou + t * ddu
-        v = oov + t * ddv
-        hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        dist = jnp.where(hit, t, _BIG)
-        j = jnp.argmin(dist, axis=-1)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
-        oh_best = col_ids == j[:, None]
-        d_best = jnp.min(dist, axis=-1)
-        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=-1)
-        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=-1)
-        attr_block = attr_ref[pl.ds(col, nb), :]
-        attr_best = dot_exact_a(oh_best.astype(jnp.float32), attr_block)
-        closer = d_best < best_dist
-        return (
-            jnp.minimum(best_dist, d_best),
-            jnp.where(closer, j + i * nb, best_prim),
-            jnp.where(closer, u_best, best_u),
-            jnp.where(closer, v_best, best_v),
-            jnp.where(closer[:, None], attr_best, best_attr),
+        c = ids_ref[i]  # cluster id (tile's DMA'd work list)
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < count)
+        def _():
+            fetch(i + 1, jax.lax.rem(i + 1, 2))
+
+        fetch_wait(i, slot)
+
+        # per-ray AABB pretest: skip the (expensive) per-triangle
+        # matmuls unless some ray both intersects this cluster's box
+        # AND could improve its current best hit — per-ray-accurate
+        # occlusion pruning in lockstep form
+        t1x = (clb_ref[c, 0] - ox) * inv_dx
+        t2x = (clb_ref[c, 4] - ox) * inv_dx
+        t1y = (clb_ref[c, 1] - oy) * inv_dy
+        t2y = (clb_ref[c, 5] - oy) * inv_dy
+        t1z = (clb_ref[c, 2] - oz) * inv_dz
+        t2z = (clb_ref[c, 6] - oz) * inv_dz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
         )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        touch = (t_far >= 0.0) & (t_far >= t_near) & (t_near < best_dist)
+        any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
+
+        def test_cluster(carry):
+            best_dist, best_prim, best_u, best_v, best_attr = carry
+            xu = xpb_ref[slot, 0:4, :]
+            xv = xpb_ref[slot, 4:8, :]
+            xw = xpb_ref[slot, 8:12, :]
+            oou = dot_f32x3(None, xu, a_split=oh_split)
+            oov = dot_f32x3(None, xv, a_split=oh_split)
+            oow = dot_f32x3(None, xw, a_split=oh_split)
+            ddu = dot_f32x3(None, xu, a_split=dh_split)
+            ddv = dot_f32x3(None, xv, a_split=dh_split)
+            ddw = dot_f32x3(None, xw, a_split=dh_split)
+            nondeg = jnp.abs(ddw) >= 1e-12
+            t = -oow / jnp.where(nondeg, ddw, 1.0)
+            u = oou + t * ddu
+            v = oov + t * ddv
+            hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            dist = jnp.where(hit, t, _BIG)
+            j = jnp.argmin(dist, axis=-1)
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
+            oh_best = col_ids == j[:, None]
+            d_best = jnp.min(dist, axis=-1)
+            u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=-1)
+            v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=-1)
+            attr_block = attrb_ref[slot, :, 0:ATTR_COLS]
+            attr_best = dot_exact_a(oh_best.astype(jnp.float32), attr_block)
+            closer = d_best < best_dist
+            return (
+                jnp.minimum(best_dist, d_best),
+                jnp.where(closer, j + c * nb, best_prim),
+                jnp.where(closer, u_best, best_u),
+                jnp.where(closer, v_best, best_v),
+                jnp.where(closer[:, None], attr_best, best_attr),
+            )
+
+        carry = jax.lax.cond(
+            any_touch, test_cluster, lambda cr: cr,
+            (best_dist, best_prim, best_u, best_v, best_attr),
+        )
+        new_best = carry[0]
+        # occlusion early-termination: the work list is sorted
+        # front-to-back by camera->AABB distance, so once every ray's
+        # best hit is nearer than the NEXT cluster can possibly be, stop
+        nxt_c = ids_ref[jnp.minimum(i + 1, count)]
+        done = (i + 1 >= count) | (jnp.max(new_best) < dmin_ref[nxt_c])
+        return (i + 1, done, carry)
+
+    def cond(state):
+        i, done, _ = state
+        return jnp.logical_not(done)
 
     init = (
-        jnp.full((b,), _BIG, jnp.float32),
-        jnp.full((b,), NULL_PRIMITIVE, jnp.int32),
-        jnp.zeros((b,), jnp.float32),
-        jnp.zeros((b,), jnp.float32),
-        jnp.zeros((b, ATTR_COLS), jnp.float32),
+        jnp.int32(0),
+        count <= 0,
+        (
+            jnp.full((b,), _BIG, jnp.float32),
+            jnp.full((b,), NULL_PRIMITIVE, jnp.int32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.zeros((b, ATTR_COLS), jnp.float32),
+        ),
     )
-    best_dist, best_prim, best_u, best_v, a = jax.lax.fori_loop(
-        0, n_pad // nb, body, init
+    n_done, _, (best_dist, best_prim, best_u, best_v, a) = jax.lax.while_loop(
+        cond, body, init
     )
+
+    # drain the in-flight prefetch when the loop exited early (the DMA
+    # for cluster n_done was started in the last iteration but never
+    # consumed; an unconsumed DMA at kernel end is a runtime error)
+    @pl.when((n_done > 0) & (n_done < count))
+    def _():
+        fetch_wait(n_done, jax.lax.rem(n_done, 2))
     missed = best_dist >= _BIG
     valid0 = ~missed
 
@@ -275,7 +396,7 @@ def _gbuffer_kernel(xy_ref, cam_ref, lcam_ref, looper_ref, xu_ref, xv_ref,
     )
 
     def put(i, val):
-        out_ref[i, :, :] = val.reshape(cg, 128)
+        out_ref[i, :, :] = val.reshape(8, 128)
 
     put(G_POS, px)
     put(G_POS + 1, py)
@@ -321,65 +442,173 @@ def pack_camera(cam, width: int, height: int):
     )
 
 
+
+def _primary_cluster_lists(cam_vec, width, height, tile, cluster_lo,
+                           cluster_hi):
+    """Per-tile frustum culling of triangle clusters (XLA-side).
+
+    Each linear pixel tile gets the conservative list of cluster ids its
+    primary rays can hit: the tile's bounding pixel rect defines a cone
+    from the camera through four (unnormalized, bilinear-in-pixel)
+    corner directions; a cluster survives unless its bounding sphere is
+    fully outside one of the four side planes or behind the camera.
+    Returns (counts [T] i32, ids [T, K] i32, compacted, passing first).
+    """
+    r = width * height
+    n_t = (height // 8) * (width // 128)
+    pos = cam_vec[0:3]
+    right, up, view = cam_vec[3:6], cam_vec[6:9], cam_vec[9:12]
+    tanf, focal = cam_vec[12], cam_vec[13]
+    aspect = width / height
+
+    # 2-D tile grid (8 rows x 128 cols), row-major tile order
+    npj = width // 128
+    t = jnp.arange(n_t, dtype=jnp.int32)
+    ti = t // npj
+    tj = t - ti * npj
+    x0 = (tj * 128).astype(jnp.float32)
+    x1 = x0 + 128.0
+    y0f = (ti * 8).astype(jnp.float32)
+    y1f = y0f + 8.0
+
+    def corner(cx, cy):
+        fx = (1.0 - 2.0 * cx / width) * (aspect * tanf * focal)
+        fy = (1.0 - 2.0 * cy / height) * (tanf * focal)
+        return (
+            right[None, :] * fx[:, None]
+            + up[None, :] * fy[:, None]
+            + view[None, :] * focal
+        )  # [T, 3]
+
+    c00 = corner(x0, y0f)
+    c10 = corner(x1, y0f)
+    c11 = corner(x1, y1f)
+    c01 = corner(x0, y1f)
+    mid = c00 + c10 + c11 + c01
+
+    center = (cluster_lo + cluster_hi) * 0.5  # [K, 3]
+    radius = 0.5 * jnp.linalg.norm(cluster_hi - cluster_lo, axis=-1)
+    rel = center[None, :, :] - pos[None, None, :]  # [1, K, 3]
+
+    inside = jnp.ones((n_t, center.shape[0]), bool)
+    for ca, cb in ((c00, c10), (c10, c11), (c11, c01), (c01, c00)):
+        n = jnp.cross(ca, cb)  # [T, 3]
+        n = n * jnp.sign(jnp.sum(n * mid, axis=-1, keepdims=True))
+        d = jnp.einsum("tc,tkc->tk", n, rel * jnp.ones((n_t, 1, 1)))
+        inside &= d >= -radius[None, :] * jnp.linalg.norm(n, axis=-1, keepdims=True)
+    ahead = (
+        jnp.einsum("c,tkc->tk", view, rel * jnp.ones((n_t, 1, 1)))
+        + radius[None, :]
+    ) > 0.0
+    inside &= ahead
+
+    counts = jnp.sum(inside, axis=1).astype(jnp.int32)
+    # front-to-back order: sort each tile's PASSING clusters by the
+    # camera->AABB distance (enables in-kernel occlusion termination)
+    nearest = jnp.clip(pos[None, :], cluster_lo, cluster_hi)
+    dmin = jnp.linalg.norm(nearest - pos[None, :], axis=-1)  # [K]
+    key = jnp.where(inside, dmin[None, :], jnp.float32(3e38))
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    return counts, order, dmin.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "aa_jitter",
-                                              "single_sided", "nb", "tile",
+                                              "single_sided", "nb",
                                               "interpret"))
 def gbuffer_pack_pallas(
-    xy_grid, cam_vec, lcam_vec, looper, tri_xform, prim_attr, mat_attr,
+    cam_vec, lcam_vec, looper, tri_xform, prim_attr, mat_attr,
+    cluster_lo, cluster_hi,
     width: int, height: int, aa_jitter: bool = True,
-    single_sided: bool = True, nb: int = 128, tile: int = 1024,
+    single_sided: bool = True, nb: int = 128,
     interpret: bool = False,
 ):
-    """Returns the gbuffer pack [GB_CH, R/128, 128]."""
+    """Returns the gbuffer pack [GB_CH, R/128, 128]. The grid is 2-D
+    (8x128-pixel tiles) for tight per-tile cluster frusta."""
     r = width * height
-    # the tile must divide the pixel count; larger tiles were measured
-    # to blow the 16 MB VMEM budget with the [B, nb] hit matrices
-    if r % tile != 0:
-        tile = 1024
-    assert r % tile == 0
+    assert width % 128 == 0 and height % 8 == 0
     n = tri_xform.shape[1] // 3
-    nb = min(nb, _round_up(n, 128))
+    assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
     n_pad = _round_up(max(n, nb), nb)
     xu, xv, xw = _split_planes(tri_xform, n_pad)
+    xplanes = jnp.concatenate(
+        [xu, xv, xw, jnp.zeros((4, n_pad), xu.dtype)], axis=0
+    )  # [16, n_pad] (HBM; padded to an (8,128)-aligned sublane count)
     attr = prim_attr
     if n_pad != attr.shape[0]:
         attr = jnp.concatenate(
             [attr, jnp.zeros((n_pad - attr.shape[0], ATTR_COLS), attr.dtype)]
         )
+    # pad the lane dim to 128 so per-cluster attr DMAs are tile-aligned
+    attr = jnp.concatenate(
+        [attr, jnp.zeros((n_pad, 128 - ATTR_COLS), attr.dtype)], axis=1
+    )
     m = mat_attr.shape[0]
     m_pad = _round_up(m, 8)
     mat = mat_attr
     if m_pad != m:
         mat = jnp.concatenate([mat, jnp.zeros((m_pad - m, MAT_COLS), mat.dtype)])
 
+    # per-tile frustum-culled cluster work lists (front-to-back)
+    assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
+    counts, ids, dmin = _primary_cluster_lists(
+        cam_vec, width, height, 1024, cluster_lo, cluster_hi
+    )
+    # packed cluster bounds for the in-kernel per-ray AABB pretest
+    kz = cluster_lo.shape[0]
+    clb = jnp.concatenate(
+        [cluster_lo.astype(jnp.float32), jnp.zeros((kz, 1)),
+         cluster_hi.astype(jnp.float32), jnp.zeros((kz, 1))], axis=1,
+    )  # [K, 8]: lo3 _ hi3 _
+    # flatten to [T*Kp]; 1-D i32 slices must be 1024-aligned/sized
+    kp = _round_up(ids.shape[1], 1024)
+    if kp != ids.shape[1]:
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((ids.shape[0], kp - ids.shape[1]), jnp.int32)], 1
+        )
+    ids = ids.reshape(-1)
+
     g = r // 128
-    tg = tile // 128
     kernel = functools.partial(
         _gbuffer_kernel, n_pad=n_pad, nb=nb, m_pad=m_pad, width=width,
         height=height, aa_jitter=aa_jitter, single_sided=single_sided,
     )
-    full = lambda i: (0, 0)  # noqa: E731
-    return pl.pallas_call(
-        kernel,
-        grid=(r // tile,),
+    full = lambda i, j, *_: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(height // 8, width // 128),
         in_specs=[
-            pl.BlockSpec((2, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # ids table (HBM, flat)
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, n_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, ATTR_COLS), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # tri planes (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # attr rows (HBM)
             pl.BlockSpec((m_pad, MAT_COLS), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster bounds
         ],
         out_specs=pl.BlockSpec(
-            (GB_CH, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (GB_CH, 8, 128), lambda i, j, *_: (0, i, j),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((GB_CH, g, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((kp,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, nb), jnp.float32),
+            pltpu.VMEM((2, nb, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((GB_CH, height, width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(xy_grid, cam_vec, lcam_vec, jnp.asarray([looper], jnp.uint32),
-      xu, xv, xw, attr, mat)
+    )(counts, dmin, ids, cam_vec, lcam_vec,
+      jnp.asarray([looper], jnp.uint32), xplanes, attr, mat, clb)
+    return out.reshape(GB_CH, g, 128)
 
 
 def make_xy_grid(width: int, height: int):
@@ -397,11 +626,9 @@ def make_xy_grid(width: int, height: int):
 # kernel R: RIS + winner visibility + temporal merge
 
 
-def _reuse_kernel(w0_ref, gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
-                  lumaux_ref, tri_lo_ref, light_ref, xu_ref, xv_ref, xw_ref,
-                  prev_ref, looper_ref, out_ref, win_ref, sem,
-                  *, l_pad, k, single_sided, n_pad, nb, window, temporal,
-                  temporal_clamp):
+def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
+                       lumaux_ref, tri_lo_ref, light_ref, looper_ref,
+                       out_ref, *, l_pad, k, single_sided):
     cg = gb_ref.shape[1]
     b = cg * 128
 
@@ -411,14 +638,6 @@ def _reuse_kernel(w0_ref, gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     tile_id = pl.program_id(0)
     pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
     looper = looper_ref[0]
-
-    # start the temporal window DMA first so it overlaps the RIS stage
-    if temporal:
-        w0 = pl.multiple_of(w0_ref[tile_id], 128)
-        dma = pltpu.make_async_copy(
-            prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
-        )
-        dma.start()
 
     px, py, pz = ch(G_POS), ch(G_POS + 1), ch(G_POS + 2)
     nx, ny, nz = ch(G_NORM), ch(G_NORM + 1), ch(G_NORM + 2)
@@ -527,9 +746,63 @@ def _reuse_kernel(w0_ref, gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
         r_dist = jnp.where(take, dist, r_dist)
         r_weight = jnp.where(shade, r_weight_new, r_weight)
 
+    def put1(i, val):
+        out_ref[i, :, :] = val.reshape(cg, 128)
+
+    put1(RS_LI, r_li_x)
+    put1(RS_LI + 1, r_li_y)
+    put1(RS_LI + 2, r_li_z)
+    put1(RS_WI, r_wi_x)
+    put1(RS_WI + 1, r_wi_y)
+    put1(RS_WI + 2, r_wi_z)
+    put1(RS_DIST, r_dist)
+    put1(RS_W, r_weight)
+
+
+def _vis_temporal_kernel(vcounts_ref, w0_ref, vids_hbm_ref, gb_ref, rs_ref,
+                         xp_hbm_ref, prev_ref, looper_ref, clb_ref,
+                         out_ref, vids_ref, win_ref, sem, ids_sem,
+                         xpb_ref, geo_sem,
+                         *, k, nb, window, temporal, temporal_clamp):
+    cg = gb_ref.shape[1]
+    b = cg * 128
+
+    def ch(i):
+        return gb_ref[i, :, :].reshape(b)
+
+    tile_id = pl.program_id(0)
+    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    looper = looper_ref[0]
+
+    # start the work-list + temporal-window DMAs so they overlap setup
+    kp = vids_ref.shape[0]
+    ids_dma = pltpu.make_async_copy(
+        vids_hbm_ref.at[pl.ds(pl.multiple_of(tile_id * kp, 1024), kp)],
+        vids_ref, ids_sem,
+    )
+    ids_dma.start()
+    if temporal:
+        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        dma = pltpu.make_async_copy(
+            prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
+        )
+        dma.start()
+
+    px, py, pz = ch(G_POS), ch(G_POS + 1), ch(G_POS + 2)
+    shade = ch(G_SHADE) > 0.5
+    prim_origin = ch(G_PRIM).astype(jnp.int32)
+
+    def rch(i):
+        return rs_ref[i, :, :].reshape(b)
+
+    r_li_x, r_li_y, r_li_z = rch(RS_LI), rch(RS_LI + 1), rch(RS_LI + 2)
+    r_wi_x, r_wi_y, r_wi_z = rch(RS_WI), rch(RS_WI + 1), rch(RS_WI + 2)
+    r_dist = rch(RS_DIST)
+    r_weight = rch(RS_W)
     r_m = jnp.where(shade, float(k), 0.0)
 
-    # ---- winner visibility (restir.cu:172-176)
+    # ---- winner visibility (restir.cu:172-176) over the tile's culled
+    # cluster list
     ox = px + r_wi_x * 1e-5
     oy = py + r_wi_y * 1e-5
     oz = pz + r_wi_z * 1e-5
@@ -538,33 +811,112 @@ def _reuse_kernel(w0_ref, gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     dh4 = jnp.stack([r_wi_x, r_wi_y, r_wi_z, jnp.zeros_like(ox)], axis=0)
     oh4_split = _hi_lo(oh4)
     dh4_split = _hi_lo(dh4)
+    tiny = 1e-12
+    inv_wx = 1.0 / jnp.where(jnp.abs(r_wi_x) < tiny, tiny, r_wi_x)
+    inv_wy = 1.0 / jnp.where(jnp.abs(r_wi_y) < tiny, tiny, r_wi_y)
+    inv_wz = 1.0 / jnp.where(jnp.abs(r_wi_z) < tiny, tiny, r_wi_z)
+    ids_dma.wait()
+    vcount = vcounts_ref[tile_id]
 
-    def vis_body(i, occluded):
-        col = pl.multiple_of(i * nb, nb)
-        xu = xu_ref[:, pl.ds(col, nb)]
-        xv = xv_ref[:, pl.ds(col, nb)]
-        xw = xw_ref[:, pl.ds(col, nb)]
-        oou = dot_f32x3(xu.T, None, b_split=oh4_split)
-        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
-        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
-        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
-        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
-        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
-        nondeg = jnp.abs(ddw) >= 1e-12
-        tt = -oow / jnp.where(nondeg, ddw, 1.0)
-        uu = oou + tt * ddu
-        vv = oov + tt * ddv
-        tri_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0) + i * nb
-        blocked = (
-            nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-            & (tt < limit[None, :])
-            & (tri_ids != prim_origin[None, :])
-        )
-        return jnp.maximum(
-            occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
-        )
+    def vfetch(j, slot):
+        c = vids_ref[j]
+        col = pl.multiple_of(c * nb, nb)
+        pltpu.make_async_copy(
+            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
+            geo_sem.at[slot],
+        ).start()
 
-    occluded = jax.lax.fori_loop(0, n_pad // nb, vis_body, jnp.zeros_like(px))
+    def vfetch_wait(j, slot):
+        c = vids_ref[j]
+        col = pl.multiple_of(c * nb, nb)
+        pltpu.make_async_copy(
+            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
+            geo_sem.at[slot],
+        ).wait()
+
+    @pl.when(vcount > 0)
+    def _():
+        vfetch(0, 0)
+
+    def vis_body(state):
+        i, _, occluded = state
+        c = vids_ref[i]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < vcount)
+        def _():
+            vfetch(i + 1, jax.lax.rem(i + 1, 2))
+
+        vfetch_wait(i, slot)
+
+        # per-ray segment-vs-AABB pretest: skip the per-triangle matmuls
+        # unless some still-unoccluded ray's shadow segment crosses this
+        # cluster's box
+        t1x = (clb_ref[c, 0] - ox) * inv_wx
+        t2x = (clb_ref[c, 4] - ox) * inv_wx
+        t1y = (clb_ref[c, 1] - oy) * inv_wy
+        t2y = (clb_ref[c, 5] - oy) * inv_wy
+        t1z = (clb_ref[c, 2] - oz) * inv_wz
+        t2z = (clb_ref[c, 6] - oz) * inv_wz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        touch = (
+            (t_far >= 0.0) & (t_far >= t_near) & (t_near < limit)
+            & (occluded < 0.5)
+        )
+        any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
+
+        def test_cluster(occluded):
+            xu = xpb_ref[slot, 0:4, :]
+            xv = xpb_ref[slot, 4:8, :]
+            xw = xpb_ref[slot, 8:12, :]
+            oou = dot_f32x3(xu.T, None, b_split=oh4_split)
+            oov = dot_f32x3(xv.T, None, b_split=oh4_split)
+            oow = dot_f32x3(xw.T, None, b_split=oh4_split)
+            ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
+            ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
+            ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
+            nondeg = jnp.abs(ddw) >= 1e-12
+            tt = -oow / jnp.where(nondeg, ddw, 1.0)
+            uu = oou + tt * ddu
+            vv = oov + tt * ddv
+            tri_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0) + c * nb
+            blocked = (
+                nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0)
+                & (tt < limit[None, :])
+                & (tri_ids != prim_origin[None, :])
+            )
+            return jnp.maximum(
+                occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
+            )
+
+        occluded = jax.lax.cond(
+            any_touch, test_cluster, lambda o: o, occluded
+        )
+        # any-hit early exit: stop once every lane that needed a shadow
+        # ray is occluded (lanes with no ray start pre-occluded)
+        done = (i + 1 >= vcount) | (jnp.min(occluded) > 0.5)
+        return (i + 1, done, occluded)
+
+    occ0 = jnp.where(~shade | (r_weight <= 0.0), 1.0, 0.0)
+    v_done, _, occluded = jax.lax.while_loop(
+        lambda st: jnp.logical_not(st[1]),
+        vis_body,
+        (jnp.int32(0), (vcount <= 0) | (jnp.min(occ0) > 0.5), occ0),
+    )
+
+    @pl.when((v_done > 0) & (v_done < vcount))
+    def _():
+        vfetch_wait(v_done, jax.lax.rem(v_done, 2))
+    # occ0 pre-marks resolved lanes; their weights are 0 already, so the
+    # zeroing below is a no-op for them
     r_weight = jnp.where(occluded > 0.5, 0.0, r_weight)
 
     # ---- temporal reuse (restir.cu:180-185; findTemporalNeighbor :21-45)
@@ -659,20 +1011,71 @@ def _reuse_kernel(w0_ref, gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     put(15, jnp.zeros_like(r_weight))
 
 
+def _segment_cluster_lists(gb_pack, rs_pack, tile, cluster_lo, cluster_hi):
+    """Per-tile shadow-segment culling (XLA-side): a cluster survives iff
+    its AABB overlaps the AABB of the tile's shadow segments (winner
+    visibility rays run from each pixel's hit position to its chosen
+    light sample). Conservative: the union box over-covers, never
+    under-covers. Returns (counts [T], ids [T, K] compacted)."""
+    r = gb_pack.shape[1] * 128
+    n_t = r // tile
+
+    def tmin(ch_arr, valid, fill):
+        v = jnp.where(valid, ch_arr, fill).reshape(n_t, tile)
+        return v
+
+    shade = gb_pack[G_SHADE].reshape(-1) > 0.5
+    live = shade & (rs_pack[RS_W].reshape(-1) > 0.0)
+    los, his = [], []
+    for ax in range(3):
+        o = gb_pack[G_POS + ax].reshape(-1)
+        t_ = o + rs_pack[RS_WI + ax].reshape(-1) * rs_pack[RS_DIST].reshape(-1)
+        big, small = jnp.float32(3e38), jnp.float32(-3e38)
+        lo = jnp.minimum(
+            jnp.min(jnp.where(live, o, big).reshape(n_t, tile), 1),
+            jnp.min(jnp.where(live, t_, big).reshape(n_t, tile), 1),
+        )
+        hi = jnp.maximum(
+            jnp.max(jnp.where(live, o, small).reshape(n_t, tile), 1),
+            jnp.max(jnp.where(live, t_, small).reshape(n_t, tile), 1),
+        )
+        los.append(lo)
+        his.append(hi)
+    seg_lo = jnp.stack(los, -1)  # [T, 3]
+    seg_hi = jnp.stack(his, -1)
+
+    overlap = jnp.all(
+        (cluster_lo[None, :, :] <= seg_hi[:, None, :])
+        & (cluster_hi[None, :, :] >= seg_lo[:, None, :]),
+        axis=-1,
+    )  # [T, K]
+    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    ids = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    kp = _round_up(ids.shape[1], 1024)
+    if kp != ids.shape[1]:
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((ids.shape[0], kp - ids.shape[1]), jnp.int32)], 1
+        )
+    return counts, ids.reshape(-1), kp
+
+
 @functools.partial(jax.jit, static_argnames=(
     "k", "single_sided", "nb", "window", "temporal", "temporal_clamp",
     "interpret"))
 def reuse_pallas(
     gb_pack, prev_pack, looper,
     light_verts, light_normal, light_radiance, light_area, light_center,
-    light_radius, tri_xform,
+    light_radius, tri_xform, cluster_lo, cluster_hi,
     k: int = 4, single_sided: bool = True, nb: int = 128,
     window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
     interpret: bool = False,
 ):
-    """RIS + visibility + temporal merge. gb_pack: [GB_CH, R/128, 128];
-    prev_pack: [PT_CH, R] (previous frame's output of this kernel, flat).
-    Returns the post-temporal pt pack [PT_CH, R/128, 128]."""
+    """RIS + winner visibility + temporal merge, as two kernels with an
+    XLA shadow-segment cluster-culling step between them.
+
+    gb_pack: [GB_CH, R/128, 128]; prev_pack: [PT_CH, R] (previous
+    frame's output, flat). Returns the post-temporal pt pack
+    [PT_CH, R/128, 128]."""
     g = gb_pack.shape[1]
     r = g * 128
     nl = light_verts.shape[0]
@@ -682,15 +1085,54 @@ def reuse_pallas(
         light_radius, l_pad,
     )
 
+    assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
     n_tri = tri_xform.shape[1] // 3
-    nb = min(nb, _round_up(n_tri, 128))
     n_pad = _round_up(max(n_tri, nb), nb)
     xu, xv, xw = _split_planes(tri_xform, n_pad)
-
-    # per-tile temporal window starts (scalar-prefetched): the smallest
-    # valid motion index in the tile, clamped so the window stays in
-    # range. Lanes whose motion falls outside [w0, w0+window) reject.
+    xplanes = jnp.concatenate(
+        [xu, xv, xw, jnp.zeros((4, n_pad), xu.dtype)], axis=0
+    )  # [16, n_pad] (HBM; padded to an (8,128)-aligned sublane count)
     n_tiles = r // _TILE
+    tg = _TILE // 128
+    full_p = lambda i, *_: (0, 0)  # noqa: E731
+
+    # ---- kernel R1: RIS candidate selection
+    r1 = functools.partial(
+        _ris_select_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
+    )
+    rs = pl.pallas_call(
+        r1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((GB_CH, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, l_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LIGHT_COLS, l_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (RS_CH, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((RS_CH, g, 128), jnp.float32),
+        interpret=interpret,
+    )(gb_pack, psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table,
+      jnp.asarray([looper], jnp.uint32))
+
+    # ---- XLA: shadow-segment cluster lists + temporal window starts
+    vcounts, vids, v_kp = _segment_cluster_lists(
+        gb_pack, rs, _TILE, cluster_lo, cluster_hi
+    )
+    kz = cluster_lo.shape[0]
+    clb = jnp.concatenate(
+        [cluster_lo.astype(jnp.float32), jnp.zeros((kz, 1)),
+         cluster_hi.astype(jnp.float32), jnp.zeros((kz, 1))], axis=1,
+    )  # [K, 8]: lo3 _ hi3 _
     motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
     m_valid = jnp.where(motion >= 0, motion, r)
     w0 = jnp.min(m_valid, axis=1)
@@ -698,47 +1140,47 @@ def reuse_pallas(
     w0 = (w0 // 128) * 128
     w0 = jnp.clip(w0, 0, max(r - window, 0))
 
-    kernel = functools.partial(
-        _reuse_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
-        n_pad=n_pad, nb=nb, window=window, temporal=temporal,
+    # ---- kernel R2: winner visibility (culled) + temporal merge
+    r2 = functools.partial(
+        _vis_temporal_kernel, k=k, nb=nb, window=window, temporal=temporal,
         temporal_clamp=temporal_clamp,
     )
-    tg = _TILE // 128
-    full = lambda i: (0, 0)  # noqa: E731
-    full_p = lambda i, *_: (0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # vis work lists (HBM)
             pl.BlockSpec((GB_CH, tg, 128), lambda i, *_: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, 4), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, 4), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, 5), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, 2), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, l_pad), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LIGHT_COLS, l_pad), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((RS_CH, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # tri planes (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster bounds
         ],
         out_specs=pl.BlockSpec(
             (PT_CH, tg, 128), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
+            pltpu.SMEM((v_kp,), jnp.int32),
             pltpu.VMEM((PT_CH, window), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, nb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        kernel,
+        r2,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((PT_CH, g, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(w0, gb_pack, psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table,
-      xu, xv, xw, prev_pack, jnp.asarray([looper], jnp.uint32))
+    )(vcounts, w0, vids, gb_pack, rs, xplanes, prev_pack,
+      jnp.asarray([looper], jnp.uint32), clb)
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,11 @@ class SceneData(NamedTuple):
     # packed rows for the fused primary-hit pallas kernel
     prim_attr: jnp.ndarray  # [N, ATTR_COLS]
     mat_attr: jnp.ndarray  # [M, MAT_COLS]
+    # Morton-ordered cluster AABBs ([K, 3]; K = ceil(N / CLUSTER_SIZE)):
+    # triangles are spatially sorted so that each CLUSTER_SIZE-block is
+    # compact; kernels cull whole clusters per ray tile
+    cluster_lo: jnp.ndarray
+    cluster_hi: jnp.ndarray
     # materials, [M]
     mat_type: jnp.ndarray  # [M] int32
     mat_base_color: jnp.ndarray  # [M, 3]
@@ -144,6 +149,29 @@ def has_env_map(scene: SceneData) -> bool:
 # brute force wins until the O(N) matmul work exceeds the (much more
 # HBM-expensive) gather walk; crossover measured on v5e is >> 10k tris
 BRUTE_FORCE_MAX_PRIMS = 16384
+
+# triangles per cluster — one MXU brute-force block per cluster (the
+# fused kernels' tri blocks are CLUSTER_SIZE wide)
+CLUSTER_SIZE = 128
+
+
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Permutation sorting points along a 30-bit 3-D Morton curve."""
+    c = np.asarray(centroids, np.float64)
+    lo = c.min(axis=0)
+    span = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.clip(((c - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
 
 
 def traversal_method(scene: SceneData, intersector: str = "auto") -> str:
@@ -253,6 +281,29 @@ def build_scene(
     if verts.shape[0] == 0:
         raise ValueError("scene has no primitives")
 
+    # --- Morton-order the triangle soup and slice it into spatial
+    # clusters of CLUSTER_SIZE (the TPU acceleration structure: kernels
+    # cull whole clusters per ray tile and brute-force the survivors on
+    # the MXU — the role the reference's per-thread MTBVH walk plays,
+    # scene.h:245-284, reshaped for a machine with no cheap per-lane
+    # control flow).
+    perm = _morton_order(verts.mean(axis=1))
+    verts, norms, uvs, mat_ids = (
+        verts[perm], norms[perm], uvs[perm], mat_ids[perm]
+    )
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(perm.shape[0])
+    light_prim_ids = [int(inv_perm[i]) for i in light_prim_ids]
+
+    n_prims = verts.shape[0]
+    n_clusters = -(-n_prims // CLUSTER_SIZE)
+    pad = n_clusters * CLUSTER_SIZE - n_prims
+    flat_v = verts.reshape(-1, 3)
+    lo_pad = np.concatenate([flat_v, np.full((pad * 3, 3), np.inf, np.float32)])
+    hi_pad = np.concatenate([flat_v, np.full((pad * 3, 3), -np.inf, np.float32)])
+    cluster_lo = lo_pad.reshape(n_clusters, CLUSTER_SIZE * 3, 3).min(axis=1)
+    cluster_hi = hi_pad.reshape(n_clusters, CLUSTER_SIZE * 3, 3).max(axis=1)
+
     # --- light + env alias tables (createLightSampler, scene.cpp:136-157)
     powers = list(light_power)
     if env_map is not None:
@@ -348,6 +399,8 @@ def build_scene(
         tri_xform=jnp.asarray(tri_xform),
         prim_attr=jnp.asarray(prim_attr),
         mat_attr=jnp.asarray(mat_attr),
+        cluster_lo=jnp.asarray(cluster_lo.astype(np.float32)),
+        cluster_hi=jnp.asarray(cluster_hi.astype(np.float32)),
         mat_type=mat_arr(lambda m: m.type, np.int32),
         mat_base_color=mat_arr(lambda m: m.base_color, np.float32),
         mat_metallic=mat_arr(lambda m: m.metallic, np.float32),

@@ -44,12 +44,12 @@ def _cfg(**kw):
 
 
 def _gb_pack(scene, cam, cfg, looper, last_cam=None):
-    xy = fk.make_xy_grid(cfg.width, cfg.height)
     cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
     lcam_vec = fk.pack_camera(last_cam or cam, cfg.width, cfg.height)
     return fk.gbuffer_pack_pallas(
-        xy, cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
-        scene.mat_attr, width=cfg.width, height=cfg.height,
+        cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
+        width=cfg.width, height=cfg.height,
         aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
         interpret=True,
     )
@@ -145,7 +145,8 @@ def test_reuse_kernel_matches_general_ris_and_temporal(scene_cam, monkeypatch):
             pack, prev_pack, looper,
             scene.light_verts, scene.light_normal, scene.light_radiance,
             scene.light_area, scene.light_center, scene.light_radius,
-            scene.tri_xform, k=cfg.cdf_candidates,
+            scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            k=cfg.cdf_candidates,
             single_sided=cfg.single_sided_lights,
             temporal=True, temporal_clamp=cfg.temporal_clamp,
             interpret=True,

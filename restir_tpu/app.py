@@ -23,8 +23,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--builtin", choices=["cornell", "cornell_metal", "many_light"],
                    help="use a built-in procedural scene")
     p.add_argument("--tracer", default="restir_di",
-                   choices=["restir_di", "pt_direct", "pt_full", "restir_gi",
-                            "bvh", "gbuffer"])
+                   choices=["restir_di", "pt_direct", "pt_indirect", "pt_full",
+                            "restir_gi", "bvh", "gbuffer"])
     p.add_argument("--reuse", default="spatiotemporal",
                    choices=["none", "temporal", "spatial", "spatiotemporal"])
     p.add_argument("--denoiser", default="none", choices=["none", "eaw", "svgf"])
@@ -59,6 +59,15 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _frame_hwc(frame, cfg):
+    import numpy as np
+
+    f = np.asarray(frame)
+    if f.ndim == 3:  # fused channel-major [3, R/128, 128]
+        f = f.reshape(3, -1).T
+    return f.reshape(cfg.height, cfg.width, 3)
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
@@ -75,6 +84,7 @@ def main(argv=None) -> int:
     tracer = {
         "restir_di": TracerType.RESTIR_DI, "pt_direct": TracerType.PT_DIRECT,
         "pt_full": TracerType.PT_FULL, "restir_gi": TracerType.RESTIR_GI,
+        "pt_indirect": TracerType.PT_INDIRECT,
         "bvh": TracerType.BVH_VISUALIZE, "gbuffer": TracerType.GBUFFER_PREVIEW,
     }[args.tracer]
     reuse = {
@@ -231,11 +241,14 @@ def main(argv=None) -> int:
         from PIL import Image
 
         Image.fromarray(mirror_for_save(img)).save(out, quality=95)
-    elif ext == "pfm":  # HDR path (Image::saveHDR, image.cpp:70-82)
+    elif ext == "pfm":  # HDR float dump
         from .utils.image_io import write_pfm
 
-        write_pfm(out, mirror_for_save(
-            np.asarray(frame).reshape(cfg.height, cfg.width, 3)))
+        write_pfm(out, mirror_for_save(_frame_hwc(frame, cfg)))
+    elif ext == "hdr":  # Radiance RGBE (Image::saveHDR, image.cpp:70-82)
+        from .utils.image_io import write_hdr
+
+        write_hdr(out, mirror_for_save(_frame_hwc(frame, cfg)))
     else:
         write_png(out, mirror_for_save(img))
 

@@ -42,6 +42,7 @@ class TracerType:
     RESTIR_GI = 3
     BVH_VISUALIZE = 4
     GBUFFER_PREVIEW = 5
+    PT_INDIRECT = 6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +89,10 @@ class RenderConfig:
     # or "sobol" (Owen-scrambled, SAMPLER_USE_SOBOL equivalent). The
     # fused ReSTIR kernels always use pcg4d.
     sampler: str = "pcg4d"
+
+    # G-buffer preview channel (GBUFFER_PREVIEW tracer / viewer):
+    # "normal" | "albedo" | "depth" | "position"
+    gbuffer_channel: str = "normal"
 
     # frame behavior
     accumulate: bool = True

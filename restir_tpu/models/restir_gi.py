@@ -68,7 +68,7 @@ def trace_gi_sample(
     valid [R] bool).
     """
     trv = traversal_arrays(scene, cfg.intersector)
-    R = cfg.num_pixels
+    R = pix.shape[0]  # may be a band slice of the frame
 
     # Bounce loop as lax.scan (bounded carry — see path_tracer.pt_trace):
     # depth-1 bookkeeping (xv/nv/xs/ns, primary pdf) is handled with
@@ -198,11 +198,19 @@ def restir_indirect(
     res_in: rsv.Reservoir,
     cfg: RenderConfig,
     looper,
+    pix=None,
 ) -> Tuple[jnp.ndarray, rsv.Reservoir]:
     """One ReSTIR GI frame. Returns (indirect radiance [R,3], reservoir
-    for the next frame's temporal pass)."""
-    R = cfg.num_pixels
-    pix = jnp.arange(R, dtype=jnp.uint32)
+    for the next frame's temporal pass).
+
+    `pix` (global pixel indices) enables band-sliced calls: every other
+    per-pixel input is then the matching slice, while `res_in` and
+    `last_gb` stay full-frame (the temporal motion gather may index any
+    previous pixel). RNG streams use the global indices, so a banded
+    render is bit-identical to a whole-frame one."""
+    if pix is None:
+        pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    R = pix.shape[0]
 
     sample, prim_pdf, prim_delta, valid = trace_gi_sample(
         scene, it, mat, ray_dir, cfg, looper, pix
@@ -213,7 +221,7 @@ def restir_indirect(
     w = jnp.where(mathx.is_nan_or_inf(w) | (w < 0) | ~valid, 0.0, w)
 
     r_upd = rngmod.uniform1(pix, looper, _CTR_UPDATE, rngmod.SALT_GI)
-    res = rsv.update(rsv.zeros_indirect(R), sample, w, r_upd)
+    res = rsv.update(rsv.zeros_indirect(int(R)), sample, w, r_upd)
 
     if cfg.reuse & ReuseMode.TEMPORAL:
         temporal, ok = find_temporal_neighbor(res_in, gb, last_gb)

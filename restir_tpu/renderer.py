@@ -26,7 +26,7 @@ from .config import DenoiserType, RenderConfig, TracerType
 from .models import denoiser as dn
 from .models import gbuffer as gbuf
 from .models import restir_di, restir_di_fused, restir_gi
-from .models.path_tracer import bvh_heatmap, pt_direct, pt_trace
+from .models.path_tracer import bvh_heatmap, pt_direct, pt_indirect, pt_trace
 from .ops import reservoir as rsv
 from .ops.camera import Camera
 from .ops.tonemap import to_uint8, tonemap
@@ -124,6 +124,9 @@ def step(
     elif cfg.tracer == TracerType.PT_DIRECT:
         out = pt_direct(scene, cam, cfg, looper)
         direct = _accumulate(direct, out, state.iteration, cfg.accumulate)
+    elif cfg.tracer == TracerType.PT_INDIRECT:
+        ind = pt_indirect(scene, cam, cfg, looper)
+        indirect = _accumulate(indirect, ind, state.iteration, cfg.accumulate)
     elif cfg.tracer == TracerType.PT_FULL:
         d, ind = pt_trace(scene, cam, cfg, looper)
         direct = _accumulate(direct, d, state.iteration, cfg.accumulate)
@@ -147,7 +150,16 @@ def step(
         count = bvh_heatmap(scene, cam, cfg).astype(jnp.float32)
         direct = jnp.stack([count * 0.01] * 3, axis=-1)
     elif cfg.tracer == TracerType.GBUFFER_PREVIEW:
-        direct = gb.norm * 0.5 + 0.5
+        # channel previews (the reference's ImGui combo, preview.cpp:253-287)
+        if cfg.gbuffer_channel == "albedo":
+            direct = gb.albedo
+        elif cfg.gbuffer_channel == "depth":
+            d = gb.depth / jnp.maximum(jnp.max(gb.depth), 1e-6)
+            direct = jnp.stack([d] * 3, axis=-1)
+        elif cfg.gbuffer_channel == "position":
+            direct = jnp.abs(gb.pos) / jnp.maximum(jnp.max(jnp.abs(gb.pos)), 1e-6)
+        else:
+            direct = gb.norm * 0.5 + 0.5
     else:
         raise ValueError(f"unknown tracer {cfg.tracer}")
 
@@ -214,9 +226,49 @@ def _gi_jit(scene, gb, gi_res_in, indirect_illum, last_prim, last_norm,
     gb2, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
 
     last_gb = gb._replace(prim_id=last_prim, norm=last_norm, depth=last_depth)
-    ind, gi_res = restir_gi.restir_indirect(
-        scene, gb, last_gb, it, mat, d, gi_res_in, cfg, looper
-    )
+
+    # Band-split the GI pipeline: the program's whole-frame padded temps
+    # exceed HBM at 1080p (round-1's "compile-helper crash" was an OOM
+    # by ~0.5 GB). GI is per-pixel independent except the temporal
+    # motion gather, which reads the FULL previous-frame reservoir —
+    # so each band closes over the full res_in/last_gb and lax.map
+    # bounds peak liveness to one band. Global pixel indices keep the
+    # RNG streams identical to a whole-frame render.
+    r = cfg.num_pixels
+    bands = 1
+    for cand in (8, 6, 4, 2):
+        if r % cand == 0 and r // cand <= 512 * 512:
+            bands = cand
+    if bands == 1 or r <= 512 * 512:
+        ind, gi_res = restir_gi.restir_indirect(
+            scene, gb, last_gb, it, mat, d, gi_res_in, cfg, looper
+        )
+    else:
+        band = r // bands
+        pix = jnp.arange(r, dtype=jnp.uint32).reshape(bands, band)
+
+        def slice_bands(tree):
+            return jax.tree.map(
+                lambda x: x.reshape((bands, band) + x.shape[1:]), tree
+            )
+
+        gb_b, it_b, mat_b, d_b = (
+            slice_bands(gb), slice_bands(it), slice_bands(mat),
+            slice_bands(d),
+        )
+
+        def per_band(args):
+            gb_i, it_i, mat_i, d_i, pix_i = args
+            return restir_gi.restir_indirect(
+                scene, gb_i, last_gb, it_i, mat_i, d_i, gi_res_in, cfg,
+                looper, pix=pix_i,
+            )
+
+        ind, gi_res = jax.lax.map(per_band, (gb_b, it_b, mat_b, d_b, pix))
+        ind = ind.reshape(r, 3)
+        gi_res = jax.tree.map(
+            lambda x: x.reshape((r,) + x.shape[2:]), gi_res
+        )
     indirect = _accumulate(indirect_illum, ind, iteration, cfg.accumulate)
     return indirect, gi_res
 

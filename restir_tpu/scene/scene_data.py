@@ -178,6 +178,17 @@ def traversal_method(scene: SceneData, intersector: str = "auto") -> str:
     """Resolve the (static) intersector choice for a scene."""
     if intersector == "auto":
         n = scene.verts.shape[0]
+        if n > BRUTE_FORCE_MAX_PRIMS:
+            import warnings
+
+            warnings.warn(
+                f"scene has {n} triangles (> {BRUTE_FORCE_MAX_PRIMS}): "
+                "this tracer uses the lockstep-BVH walk, which is "
+                "functional but slow on TPU. The RESTIR_DI tracer uses "
+                "the clustered streaming intersector instead and has no "
+                "triangle-count ceiling.",
+                stacklevel=2,
+            )
         intersector = "brute" if n <= BRUTE_FORCE_MAX_PRIMS else "bvh"
     return intersector
 

@@ -112,3 +112,25 @@ def read_pfm(path: str) -> np.ndarray:
 def mirror_for_save(img: np.ndarray) -> np.ndarray:
     """Horizontal mirror matching saveImage (main.cpp:127)."""
     return img[:, ::-1]
+
+def write_hdr(path: str, rgb_f32: np.ndarray) -> None:
+    """Radiance RGBE .hdr writer (Image::saveHDR, image.cpp:70-82 uses
+    stb's; this is the same flat-RLE-free RGBE encoding)."""
+    img = np.asarray(rgb_f32, np.float32)
+    h, w = img.shape[0], img.shape[1]
+    m = img.max(axis=-1)
+    exp = np.zeros(m.shape, np.int32)
+    mant = np.zeros(m.shape, np.float32)
+    nz = m >= 1e-32
+    mant_nz, exp_nz = np.frexp(m[nz])
+    mant[nz] = mant_nz
+    exp[nz] = exp_nz
+    scale = np.zeros_like(m)
+    scale[nz] = mant_nz * 256.0 / m[nz]
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())

@@ -41,12 +41,20 @@ select,button { background:#222; color:#ccc; border:1px solid #444; margin:2px 0
     <option>svgf</option></select>
   tonemap <select id="tonemap"><option>aces</option><option>filmic</option>
     <option>none</option></select>
+  gbuffer ch <select id="gbchannel"><option>normal</option><option>albedo</option>
+    <option>depth</option><option>position</option></select>
+  <label>sig_lum <input id="sig_luminance" type="range" min="0.1" max="4" step="0.1" value="1"></label>
+  <label>sig_normal <input id="sig_normal" type="range" min="0.01" max="1" step="0.01" value="0.2"></label>
+  <label>sig_depth <input id="sig_depth" type="range" min="1" max="256" step="1" value="64"></label>
   <button onclick="send('/ctl?reset=1')">reset accumulation</button>
   <div>WASD+QE move, drag to look</div>
 </div>
 <script>
 const send = (u) => fetch(u);
-for (const id of ["tracer","reuse","denoiser","tonemap"]) {
+for (const id of ["tracer","reuse","denoiser","tonemap","gbchannel"]) {
+  document.getElementById(id).onchange = (e) => send(`/ctl?${id}=${e.target.value}`);
+}
+for (const id of ["sig_luminance","sig_normal","sig_depth"]) {
   document.getElementById(id).onchange = (e) => send(`/ctl?${id}=${e.target.value}`);
 }
 document.addEventListener("keydown", (e) => {
@@ -243,6 +251,10 @@ def serve(scene, cfg, cam, port: int = 8000, host: str = "127.0.0.1"):
                             "filmic": ToneMapping.FILMIC,
                             "aces": ToneMapping.ACES,
                         }),
+                        "gbchannel": ("gbuffer_channel", {
+                            "normal": "normal", "albedo": "albedo",
+                            "depth": "depth", "position": "position",
+                        }),
                     }
                     for key, (field, mapping) in maps.items():
                         if key in q and q[key][0] in mapping:
@@ -250,6 +262,13 @@ def serve(scene, cfg, cam, port: int = 8000, host: str = "127.0.0.1"):
                                 **{field: mapping[q[key][0]]}
                             )
                             state.cfg_changed = True
+                    # denoiser sigma sliders (preview.cpp:253-263)
+                    for field in ("sig_luminance", "sig_normal", "sig_depth"):
+                        if field in q:
+                            v = safe_float(q[field], None)
+                            if v is not None and v > 0:
+                                state.cfg = state.cfg.replace(**{field: v})
+                                state.cfg_changed = True
                 self.send_response(204)
                 self.end_headers()
             else:

@@ -138,7 +138,7 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
                     looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref, clb_ref,
                     out_ref, ids_ref, ids_sem, xpb_ref, attrb_ref, geo_sem,
                     *, n_pad, nb, m_pad, width, height, aa_jitter,
-                    single_sided):
+                    single_sided, use_pretest):
     # 2-D pixel tiles (8 rows x 128 cols): tight frusta for cluster
     # culling; raster coords come from the grid position (no division)
     ti = pl.program_id(0)
@@ -248,7 +248,8 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         # per-ray AABB pretest: skip the (expensive) per-triangle
         # matmuls unless some ray both intersects this cluster's box
         # AND could improve its current best hit — per-ray-accurate
-        # occlusion pruning in lockstep form
+        # occlusion pruning in lockstep form. The test itself costs a
+        # few us of narrow VPU work, so tiny scenes skip it.
         t1x = (clb_ref[c, 0] - ox) * inv_dx
         t2x = (clb_ref[c, 4] - ox) * inv_dx
         t1y = (clb_ref[c, 1] - oy) * inv_dy
@@ -264,7 +265,10 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
             jnp.maximum(t1z, t2z),
         )
         touch = (t_far >= 0.0) & (t_far >= t_near) & (t_near < best_dist)
-        any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
+        if use_pretest:
+            any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
+        else:
+            any_touch = True
 
         def test_cluster(carry):
             best_dist, best_prim, best_u, best_v, best_attr = carry
@@ -300,10 +304,11 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
                 jnp.where(closer[:, None], attr_best, best_attr),
             )
 
-        carry = jax.lax.cond(
-            any_touch, test_cluster, lambda cr: cr,
-            (best_dist, best_prim, best_u, best_v, best_attr),
-        )
+        cr0 = (best_dist, best_prim, best_u, best_v, best_attr)
+        if use_pretest:
+            carry = jax.lax.cond(any_touch, test_cluster, lambda cr: cr, cr0)
+        else:
+            carry = test_cluster(cr0)
         new_best = carry[0]
         # occlusion early-termination: the work list is sorted
         # front-to-back by camera->AABB distance, so once every ray's
@@ -571,6 +576,7 @@ def gbuffer_pack_pallas(
     kernel = functools.partial(
         _gbuffer_kernel, n_pad=n_pad, nb=nb, m_pad=m_pad, width=width,
         height=height, aa_jitter=aa_jitter, single_sided=single_sided,
+        use_pretest=cluster_lo.shape[0] > 16,
     )
     full = lambda i, j, *_: (0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -763,7 +769,8 @@ def _vis_temporal_kernel(vcounts_ref, w0_ref, vids_hbm_ref, gb_ref, rs_ref,
                          xp_hbm_ref, prev_ref, looper_ref, clb_ref,
                          out_ref, vids_ref, win_ref, sem, ids_sem,
                          xpb_ref, geo_sem,
-                         *, k, nb, window, temporal, temporal_clamp):
+                         *, k, nb, window, temporal, temporal_clamp,
+                         use_pretest):
     cg = gb_ref.shape[1]
     b = cg * 128
 
@@ -870,7 +877,10 @@ def _vis_temporal_kernel(vcounts_ref, w0_ref, vids_hbm_ref, gb_ref, rs_ref,
             (t_far >= 0.0) & (t_far >= t_near) & (t_near < limit)
             & (occluded < 0.5)
         )
-        any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
+        if use_pretest:
+            any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
+        else:
+            any_touch = True
 
         def test_cluster(occluded):
             xu = xpb_ref[slot, 0:4, :]
@@ -897,9 +907,11 @@ def _vis_temporal_kernel(vcounts_ref, w0_ref, vids_hbm_ref, gb_ref, rs_ref,
                 occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
             )
 
-        occluded = jax.lax.cond(
-            any_touch, test_cluster, lambda o: o, occluded
-        )
+        if use_pretest:
+            occluded = jax.lax.cond(any_touch, test_cluster, lambda o: o,
+                                    occluded)
+        else:
+            occluded = test_cluster(occluded)
         # any-hit early exit: stop once every lane that needed a shadow
         # ray is occluded (lanes with no ray start pre-occluded)
         done = (i + 1 >= vcount) | (jnp.min(occluded) > 0.5)
@@ -1143,7 +1155,7 @@ def reuse_pallas(
     # ---- kernel R2: winner visibility (culled) + temporal merge
     r2 = functools.partial(
         _vis_temporal_kernel, k=k, nb=nb, window=window, temporal=temporal,
-        temporal_clamp=temporal_clamp,
+        temporal_clamp=temporal_clamp, use_pretest=cluster_lo.shape[0] > 16,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

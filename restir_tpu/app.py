@@ -151,7 +151,7 @@ def main(argv=None) -> int:
 
     state = renderer.init_state(cfg, cam, scene)
     if args.load_state:
-        state = renderer.load_checkpoint(args.load_state, cfg, cam)
+        state = renderer.load_checkpoint(args.load_state, cfg, cam, scene)
 
     base_pos = np.asarray(cam.position)
 
@@ -200,8 +200,10 @@ def main(argv=None) -> int:
             ref_state, ref_frame = renderer.step_jit(
                 scene, ref_state, cam, ref_cfg
             )
-        ref = np.asarray(ref_frame)
-        got = np.asarray(frame)
+        # compare in a common [H, W, 3] layout: the fused path yields
+        # channel-major [3, R/128, 128] frames, PT_DIRECT yields [R, 3]
+        ref = _frame_hwc(ref_frame, cfg)
+        got = _frame_hwc(frame, cfg)
         rmse_vs_pt = float(np.sqrt(((got - ref) ** 2).mean()))
 
     if args.profile:

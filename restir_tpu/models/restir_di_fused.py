@@ -34,7 +34,6 @@ class FusedDIState(NamedTuple):
     iteration: jnp.ndarray  # int32 scalar
     accum: jnp.ndarray  # [3, R/128, 128] running-mean radiance
     pt_pack: jnp.ndarray  # [PT_CH, R/128, 128] post-temporal reuse pack
-    gb_pack: jnp.ndarray  # [GB_CH, R/128, 128] previous frame's G-buffer
     last_camera: Camera
 
 
@@ -66,20 +65,8 @@ def init_state(cfg: RenderConfig, cam: Camera) -> FusedDIState:
         iteration=jnp.int32(0),
         accum=jnp.zeros((3, g, 128)),
         pt_pack=jnp.zeros((fk.PT_CH, g, 128)),
-        gb_pack=_empty_gb_pack(cfg.num_pixels),
         last_camera=cam,
     )
-
-
-def _empty_gb_pack(num_pixels: int) -> jnp.ndarray:
-    """First-frame history: prim_remap = NULL so temporal lookups reject
-    (mirrors models/gbuffer.empty_gbuffer)."""
-    g = num_pixels // 128
-    pack = jnp.zeros((fk.GB_CH, g, 128))
-    pack = pack.at[fk.G_PRIMR].set(-1.0)
-    pack = pack.at[fk.G_DEPTH].set(1.0)
-    pack = pack.at[fk.G_MISS].set(1.0)
-    return pack
 
 
 def reset_accumulation(state: FusedDIState) -> FusedDIState:
@@ -141,7 +128,6 @@ def step_fused(
         iteration=state.iteration + 1,
         accum=accum,
         pt_pack=pt,
-        gb_pack=gb,
         last_camera=cam,
     )
     return next_state, frame

@@ -313,7 +313,7 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         # occlusion early-termination: the work list is sorted
         # front-to-back by camera->AABB distance, so once every ray's
         # best hit is nearer than the NEXT cluster can possibly be, stop
-        nxt_c = ids_ref[jnp.minimum(i + 1, count)]
+        nxt_c = ids_ref[jnp.minimum(i + 1, jnp.maximum(count - 1, 0))]
         done = (i + 1 >= count) | (jnp.max(new_best) < dmin_ref[nxt_c])
         return (i + 1, done, carry)
 
@@ -1146,7 +1146,11 @@ def reuse_pallas(
          cluster_hi.astype(jnp.float32), jnp.zeros((kz, 1))], axis=1,
     )  # [K, 8]: lo3 _ hi3 _
     motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
-    m_valid = jnp.where(motion >= 0, motion, r)
+    # miss pixels carry motion = 0 (not -1); including them poisons the
+    # window start min for any tile seeing background, silently losing
+    # temporal reuse for shaded pixels whose index exceeds the window
+    miss = gb_pack[G_MISS].reshape(n_tiles, _TILE) > 0.5
+    m_valid = jnp.where((motion >= 0) & ~miss, motion, r)
     w0 = jnp.min(m_valid, axis=1)
     # HBM DMA starts must be 128-aligned on the lane dim (Mosaic tiling)
     w0 = (w0 // 128) * 128

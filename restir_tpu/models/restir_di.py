@@ -211,11 +211,14 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, loop
 
     def per_chunk(args):
         pix_c, pos_c, mat_c, norm_c, wo_c, shade_c = args
-        res = rsv.zeros_direct(chunk)
+        ws, cands = [], []
+        r_sel = None
         for k in range(cfg.cdf_candidates):
             r1, r2, r3, r4 = rngmod.uniform4(
                 pix_c, looper, _CTR_RIS + k, rngmod.SALT_RESTIR
             )
+            if k == 0:
+                r_sel = r4  # selection draw (unused by the pick itself)
             ls = light_ops.sample_light_cdf(
                 scene, pos_c, norm_c, r1, r2, r3,
                 single_sided=cfg.single_sided_lights,
@@ -223,9 +226,39 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, loop
             cand = rsv.DirectSample(li=ls.radiance, wi=ls.wi, dist=ls.dist)
             g = _p_hat_direct(cand, mat_c, norm_c, wo_c)
             w = mathx.luminance(g) / ls.pdf
-            w = jnp.where(mathx.is_nan_or_inf(w) | (ls.pdf <= 0.0), 0.0, w)
-            res = rsv.update(res, cand, w, r4, active=shade_c)
-        return res
+            w = jnp.where(
+                mathx.is_nan_or_inf(w) | (ls.pdf <= 0.0) | ~shade_c, 0.0, w
+            )
+            ws.append(w)
+            cands.append(cand)
+        # single-draw inverse-CDF winner: P(pick k) = w_k / W, the same
+        # distribution as the reference's K streaming reservoir updates
+        # (restir.h:38-44) in one op chain — mirrored bit-for-bit by the
+        # fused kernel (ops/pallas/fused_di._ris_select_kernel)
+        cums = []
+        c = ws[0]
+        for k in range(1, len(ws)):
+            cums.append(c)
+            c = c + ws[k]
+        total = c
+        thresh = r_sel * total
+        jsel = jnp.zeros_like(total)
+        for cj in cums:
+            jsel = jsel + (cj <= thresh).astype(jnp.float32)
+        gate = shade_c & (total > 0.0)
+        li = jnp.zeros_like(cands[0].li)
+        wi = jnp.zeros_like(cands[0].wi)
+        dist = jnp.zeros_like(cands[0].dist)
+        for k, cand in enumerate(cands):
+            pick = (gate & (jsel == float(k)))[..., None]
+            li = jnp.where(pick, cand.li, li)
+            wi = jnp.where(pick, cand.wi, wi)
+            dist = jnp.where(pick[..., 0], cand.dist, dist)
+        return rsv.Reservoir(
+            sample=rsv.DirectSample(li=li, wi=wi, dist=dist),
+            weight=total,
+            m=jnp.where(shade_c, len(ws), 0).astype(jnp.int32),
+        )
 
     res = jax.lax.map(per_chunk, inputs)
     res = jax.tree.map(lambda x: x.reshape((c * chunk,) + x.shape[2:])[:R], res)

@@ -118,6 +118,9 @@ RS_W = 7
 RS_CH = 8
 
 _TILE = 1024
+# below this triangle count, kernels G/R2 keep the whole geometry VMEM-
+# resident (per-cluster DMA sync overhead beats the culling win)
+_RESIDENT_MAX_TRIS = 1024
 
 
 def eligible(cfg, scene_has_env: bool, with_textures: bool) -> bool:
@@ -134,40 +137,27 @@ def eligible(cfg, scene_has_env: bool, with_textures: bool) -> bool:
 # kernel G: raygen + closest hit + gbuffer pack
 
 
-def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
-                    looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref, clb_ref,
-                    out_ref, ids_ref, ids_sem, xpb_ref, attrb_ref, geo_sem,
-                    *, n_pad, nb, m_pad, width, height, aa_jitter,
-                    single_sided, use_pretest):
-    # 2-D pixel tiles (8 rows x 128 cols): tight frusta for cluster
-    # culling; raster coords come from the grid position (no division)
+def _tile_raster_xy(width):
+    """Raster coords of the 8x128-pixel tile at 2-D grid position."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    tile = ti * pl.num_programs(1) + tj
-    cg = 8
-    b = cg * 128
+    b = 8 * 128
     xl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(jnp.float32)
     yl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(jnp.float32)
     x = (xl + (tj * 128).astype(jnp.float32)).reshape(b)
     y = (yl + (ti * 8).astype(jnp.float32)).reshape(b)
-    # fetch this tile's cluster work list into SMEM (the full [T, K]
-    # table would blow the 1 MB SMEM budget as a prefetch operand; the
-    # table is FLAT [T*Kp] because row-slicing a 2-D i32 table trips
-    # Mosaic's (8,128) tiling alignment)
-    kp = ids_ref.shape[0]
-    ids_dma = pltpu.make_async_copy(
-        ids_hbm_ref.at[pl.ds(pl.multiple_of(tile * kp, 1024), kp)],
-        ids_ref, ids_sem,
-    )
-    ids_dma.start()
     pix = (y * float(width) + x).astype(jnp.int32)
-    looper = looper_ref[0]
+    return x, y, pix
 
-    # --- camera raygen (Camera::sample, sceneStructs.h:69-86)
+
+def _raygen(cam_ref, looper, x, y, pix, *, width, height, aa_jitter):
+    """Camera raygen (Camera::sample, sceneStructs.h:69-86)."""
+    b = x.shape[0]
     if aa_jitter:
         u1, u2, _, _ = _pcg4d(
             pix.astype(jnp.uint32), jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), 0, jnp.uint32), jnp.full((b,), _SALT_CAMERA, jnp.uint32),
+            jnp.full((b,), 0, jnp.uint32),
+            jnp.full((b,), _SALT_CAMERA, jnp.uint32),
         )
         rx, ry = _unit(u1), _unit(u2)
     else:
@@ -190,6 +180,202 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
     ox = jnp.full((b,), cam_ref[0], jnp.float32)
     oy = jnp.full((b,), cam_ref[1], jnp.float32)
     oz = jnp.full((b,), cam_ref[2], jnp.float32)
+    return ox, oy, oz, dx, dy, dz
+
+
+def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
+                      best_u, best_v, a, x, y, ox, oy, oz, dx, dy, dz,
+                      *, m_pad, width, height, single_sided):
+    """Attribute/material interpolation + motion reprojection + pack
+    write (shared by the streaming and resident closest-hit loops)."""
+    b = x.shape[0]
+    missed = best_dist >= _BIG
+    valid0 = ~missed
+
+    u = best_u[:, None]
+    v = best_v[:, None]
+    pos = a[:, 0:3] + u * a[:, 3:6] + v * a[:, 6:9]
+    nrm = a[:, 9:12] + u * a[:, 12:15] + v * a[:, 15:18]
+    nlen = jax.lax.rsqrt(jnp.maximum(jnp.sum(nrm * nrm, axis=1, keepdims=True), 1e-20))
+    nrm = nrm * nlen
+    mat_id = a[:, 24].astype(jnp.int32)
+
+    mcol = jax.lax.broadcasted_iota(jnp.int32, (b, m_pad), 1)
+    oh_mat = (mcol == mat_id[:, None]).astype(jnp.float32)
+    matp = dot_exact_a(oh_mat, mat_ref[:, :])
+
+    mtype = matp[:, 0]
+    is_light = valid0 & (mtype == _LIGHT)
+    ndotd = nrm[:, 0] * dx + nrm[:, 1] * dy + nrm[:, 2] * dz
+    front = ndotd < 0.0
+    if single_sided:
+        # back-face light hits become misses (gbuffer.cu:32-36)
+        valid = valid0 & ~(is_light & ~front)
+    else:
+        valid = valid0
+    is_light = is_light & valid
+    shade = valid & ~is_light
+
+    prim_remap = jnp.where(
+        valid, jnp.where(is_light, LIGHT_ID, a[:, 24]), _NULL
+    )
+
+    px = jnp.where(valid, pos[:, 0], 0.0)
+    py = jnp.where(valid, pos[:, 1], 0.0)
+    pz = jnp.where(valid, pos[:, 2], 0.0)
+    tox, toy, toz = px - ox, py - oy, pz - oz
+    depth = jnp.where(valid, jnp.sqrt(tox * tox + toy * toy + toz * toz), 1.0)
+
+    # --- motion index: reproject through lastCamera (gbuffer.cu:49-55,
+    # Camera::getRasterUV sceneStructs.h:23-46)
+    aspect = float(width) / float(height)
+    lx_, ly_, lz_ = px - lcam_ref[0], py - lcam_ref[1], pz - lcam_ref[2]
+    linv = jax.lax.rsqrt(jnp.maximum(lx_ * lx_ + ly_ * ly_ + lz_ * lz_, 1e-20))
+    lx_, ly_, lz_ = lx_ * linv, ly_ * linv, lz_ * linv
+    ldep = lx_ * lcam_ref[9] + ly_ * lcam_ref[10] + lz_ * lcam_ref[11]
+    ldep_inv = 1.0 / jnp.where(jnp.abs(ldep) < 1e-20, 1e-20, ldep)
+    prx = (lx_ * lcam_ref[3] + ly_ * lcam_ref[4] + lz_ * lcam_ref[5]) * ldep_inv
+    pry = (lx_ * lcam_ref[6] + ly_ * lcam_ref[7] + lz_ * lcam_ref[8]) * ldep_inv
+    ltan = lcam_ref[12]
+    un = (-(prx / (aspect * ltan))) * 0.5 + 0.5
+    vn = (-(pry / ltan)) * 0.5 + 0.5
+    mx = (un * width).astype(jnp.int32)
+    my = (vn * height).astype(jnp.int32)
+    in_b = (mx >= 0) & (mx < width) & (my >= 0) & (my < height)
+    motion = jnp.where(
+        valid,
+        jnp.where(in_b, (my * width + mx).astype(jnp.float32), _NULL),
+        0.0,
+    )
+
+    def put(i, val):
+        out_ref[i, :, :] = val.reshape(8, 128)
+
+    put(G_POS, px)
+    put(G_POS + 1, py)
+    put(G_POS + 2, pz)
+    vf = valid
+    for k in range(3):
+        put(G_NORM + k, jnp.where(vf, nrm[:, k], 0.0))
+    put(G_DIR, dx)
+    put(G_DIR + 1, dy)
+    put(G_DIR + 2, dz)
+    for k in range(3):
+        put(G_ALB + k, jnp.where(vf, matp[:, 1 + k], 0.0))
+    put(G_DEPTH, depth)
+    put(G_MOTION, motion)
+    put(G_PRIMR, prim_remap)
+    put(G_MTYPE, mtype)
+    put(G_METAL, matp[:, 4])
+    put(G_ROUGH, matp[:, 5])
+    put(G_SHADE, shade.astype(jnp.float32))
+    put(G_LIGHT, is_light.astype(jnp.float32))
+    put(G_MISS, (~valid).astype(jnp.float32))
+    put(G_PRIM, jnp.where(valid, best_prim.astype(jnp.float32), _NULL))
+    put(G_X, x)
+    put(G_Y, y)
+
+
+def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xu_ref, xv_ref,
+                             xw_ref, attr_ref, mat_ref, out_ref,
+                             *, n_pad, nb, m_pad, width, height, aa_jitter,
+                             single_sided):
+    """Small-scene variant: triangle planes + attribute rows live in
+    VMEM (no per-cluster DMA, no culling — ~5 us of DMA sync per cluster
+    per tile dominates kernel G on few-hundred-triangle scenes), and the
+    hit matmuls run at a wider block size (fewer MXU dispatches)."""
+    x, y, pix = _tile_raster_xy(width)
+    b = x.shape[0]
+    looper = looper_ref[0]
+    ox, oy, oz, dx, dy, dz = _raygen(
+        cam_ref, looper, x, y, pix, width=width, height=height,
+        aa_jitter=aa_jitter,
+    )
+
+    oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)  # [B, 4]
+    dh = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=1)
+    oh_split, dh_split = _hi_lo(oh), _hi_lo(dh)
+
+    def body(i, carry):
+        best_dist, best_prim, best_u, best_v, best_attr = carry
+        col = pl.multiple_of(i * nb, nb)
+        xu = xu_ref[:, pl.ds(col, nb)]
+        xv = xv_ref[:, pl.ds(col, nb)]
+        xw = xw_ref[:, pl.ds(col, nb)]
+        oou = dot_f32x3(None, xu, a_split=oh_split)
+        oov = dot_f32x3(None, xv, a_split=oh_split)
+        oow = dot_f32x3(None, xw, a_split=oh_split)
+        ddu = dot_f32x3(None, xu, a_split=dh_split)
+        ddv = dot_f32x3(None, xv, a_split=dh_split)
+        ddw = dot_f32x3(None, xw, a_split=dh_split)
+        nondeg = jnp.abs(ddw) >= 1e-12
+        t = -oow / jnp.where(nondeg, ddw, 1.0)
+        u = oou + t * ddu
+        v = oov + t * ddv
+        hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        dist = jnp.where(hit, t, _BIG)
+        j = jnp.argmin(dist, axis=-1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
+        oh_best = col_ids == j[:, None]
+        d_best = jnp.min(dist, axis=-1)
+        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=-1)
+        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=-1)
+        attr_block = attr_ref[pl.ds(col, nb), 0:ATTR_COLS]
+        attr_best = dot_exact_a(oh_best.astype(jnp.float32), attr_block)
+        closer = d_best < best_dist
+        return (
+            jnp.minimum(best_dist, d_best),
+            jnp.where(closer, j + i * nb, best_prim),
+            jnp.where(closer, u_best, best_u),
+            jnp.where(closer, v_best, best_v),
+            jnp.where(closer[:, None], attr_best, best_attr),
+        )
+
+    init = (
+        jnp.full((b,), _BIG, jnp.float32),
+        jnp.full((b,), NULL_PRIMITIVE, jnp.int32),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b, ATTR_COLS), jnp.float32),
+    )
+    best_dist, best_prim, best_u, best_v, a = jax.lax.fori_loop(
+        0, n_pad // nb, body, init
+    )
+    _gbuffer_epilogue(
+        out_ref, lcam_ref, mat_ref, best_dist, best_prim, best_u, best_v,
+        a, x, y, ox, oy, oz, dx, dy, dz,
+        m_pad=m_pad, width=width, height=height, single_sided=single_sided,
+    )
+
+
+def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
+                    looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref, clb_ref,
+                    out_ref, ids_ref, ids_sem, xpb_ref, attrb_ref, geo_sem,
+                    *, n_pad, nb, m_pad, width, height, aa_jitter,
+                    single_sided, use_pretest):
+    # 2-D pixel tiles (8 rows x 128 cols): tight frusta for cluster
+    # culling; raster coords come from the grid position (no division)
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile = ti * pl.num_programs(1) + tj
+    cg = 8
+    b = cg * 128
+    x, y, pix = _tile_raster_xy(width)
+    # fetch this tile's cluster work list into SMEM (the full [T, K]
+    # table would blow the 1 MB SMEM budget as a prefetch operand; the
+    # table is FLAT [T*Kp] because row-slicing a 2-D i32 table trips
+    # Mosaic's (8,128) tiling alignment)
+    kp = ids_ref.shape[0]
+    ids_dma = pltpu.make_async_copy(
+        ids_hbm_ref.at[pl.ds(pl.multiple_of(tile * kp, 1024), kp)],
+        ids_ref, ids_sem,
+    )
+    ids_dma.start()
+    looper = looper_ref[0]
+    ox, oy, oz, dx, dy, dz = _raygen(
+        cam_ref, looper, x, y, pix, width=width, height=height,
+        aa_jitter=aa_jitter,
+    )
 
     # --- closest hit over triangle blocks (bf16-split matmuls)
     oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)  # [B, 4]
@@ -342,90 +528,11 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
     @pl.when((n_done > 0) & (n_done < count))
     def _():
         fetch_wait(n_done, jax.lax.rem(n_done, 2))
-    missed = best_dist >= _BIG
-    valid0 = ~missed
-
-    u = best_u[:, None]
-    v = best_v[:, None]
-    pos = a[:, 0:3] + u * a[:, 3:6] + v * a[:, 6:9]
-    nrm = a[:, 9:12] + u * a[:, 12:15] + v * a[:, 15:18]
-    nlen = jax.lax.rsqrt(jnp.maximum(jnp.sum(nrm * nrm, axis=1, keepdims=True), 1e-20))
-    nrm = nrm * nlen
-    mat_id = a[:, 24].astype(jnp.int32)
-
-    mcol = jax.lax.broadcasted_iota(jnp.int32, (b, m_pad), 1)
-    oh_mat = (mcol == mat_id[:, None]).astype(jnp.float32)
-    matp = dot_exact_a(oh_mat, mat_ref[:, :])
-
-    mtype = matp[:, 0]
-    is_light = valid0 & (mtype == _LIGHT)
-    ndotd = nrm[:, 0] * dx + nrm[:, 1] * dy + nrm[:, 2] * dz
-    front = ndotd < 0.0
-    if single_sided:
-        # back-face light hits become misses (gbuffer.cu:32-36)
-        valid = valid0 & ~(is_light & ~front)
-    else:
-        valid = valid0
-    is_light = is_light & valid
-    shade = valid & ~is_light
-
-    prim_remap = jnp.where(
-        valid, jnp.where(is_light, LIGHT_ID, a[:, 24]), _NULL
+    _gbuffer_epilogue(
+        out_ref, lcam_ref, mat_ref, best_dist, best_prim, best_u, best_v,
+        a, x, y, ox, oy, oz, dx, dy, dz,
+        m_pad=m_pad, width=width, height=height, single_sided=single_sided,
     )
-
-    px = jnp.where(valid, pos[:, 0], 0.0)
-    py = jnp.where(valid, pos[:, 1], 0.0)
-    pz = jnp.where(valid, pos[:, 2], 0.0)
-    tox, toy, toz = px - ox, py - oy, pz - oz
-    depth = jnp.where(valid, jnp.sqrt(tox * tox + toy * toy + toz * toz), 1.0)
-
-    # --- motion index: reproject through lastCamera (gbuffer.cu:49-55,
-    # Camera::getRasterUV sceneStructs.h:23-46)
-    lx_, ly_, lz_ = px - lcam_ref[0], py - lcam_ref[1], pz - lcam_ref[2]
-    linv = jax.lax.rsqrt(jnp.maximum(lx_ * lx_ + ly_ * ly_ + lz_ * lz_, 1e-20))
-    lx_, ly_, lz_ = lx_ * linv, ly_ * linv, lz_ * linv
-    ldep = lx_ * lcam_ref[9] + ly_ * lcam_ref[10] + lz_ * lcam_ref[11]
-    ldep_inv = 1.0 / jnp.where(jnp.abs(ldep) < 1e-20, 1e-20, ldep)
-    prx = (lx_ * lcam_ref[3] + ly_ * lcam_ref[4] + lz_ * lcam_ref[5]) * ldep_inv
-    pry = (lx_ * lcam_ref[6] + ly_ * lcam_ref[7] + lz_ * lcam_ref[8]) * ldep_inv
-    ltan = lcam_ref[12]
-    un = (-(prx / (aspect * ltan))) * 0.5 + 0.5
-    vn = (-(pry / ltan)) * 0.5 + 0.5
-    mx = (un * width).astype(jnp.int32)
-    my = (vn * height).astype(jnp.int32)
-    in_b = (mx >= 0) & (mx < width) & (my >= 0) & (my < height)
-    motion = jnp.where(
-        valid,
-        jnp.where(in_b, (my * width + mx).astype(jnp.float32), _NULL),
-        0.0,
-    )
-
-    def put(i, val):
-        out_ref[i, :, :] = val.reshape(8, 128)
-
-    put(G_POS, px)
-    put(G_POS + 1, py)
-    put(G_POS + 2, pz)
-    vf = valid
-    for k in range(3):
-        put(G_NORM + k, jnp.where(vf, nrm[:, k], 0.0))
-    put(G_DIR, dx)
-    put(G_DIR + 1, dy)
-    put(G_DIR + 2, dz)
-    for k in range(3):
-        put(G_ALB + k, jnp.where(vf, matp[:, 1 + k], 0.0))
-    put(G_DEPTH, depth)
-    put(G_MOTION, motion)
-    put(G_PRIMR, prim_remap)
-    put(G_MTYPE, mtype)
-    put(G_METAL, matp[:, 4])
-    put(G_ROUGH, matp[:, 5])
-    put(G_SHADE, shade.astype(jnp.float32))
-    put(G_LIGHT, is_light.astype(jnp.float32))
-    put(G_MISS, (~valid).astype(jnp.float32))
-    put(G_PRIM, jnp.where(valid, best_prim.astype(jnp.float32), _NULL))
-    put(G_X, x)
-    put(G_Y, y)
 
 
 def pack_camera(cam, width: int, height: int):
@@ -553,6 +660,53 @@ def gbuffer_pack_pallas(
     if m_pad != m:
         mat = jnp.concatenate([mat, jnp.zeros((m_pad - m, MAT_COLS), mat.dtype)])
 
+    if n <= _RESIDENT_MAX_TRIS:
+        # small scene: all geometry fits VMEM — skip the cluster
+        # streaming (its DMA sync overhead dominates at few clusters)
+        # and run the hit matmuls at a wider block size
+        nb_res = min(256, n_pad)
+        n_pad_res = _round_up(n_pad, nb_res)
+        xu, xv, xw = _split_planes(tri_xform, n_pad_res)
+        attr_res = prim_attr
+        if n_pad_res != attr_res.shape[0]:
+            attr_res = jnp.concatenate([
+                attr_res,
+                jnp.zeros((n_pad_res - attr_res.shape[0], ATTR_COLS),
+                          attr_res.dtype),
+            ])
+        kernel = functools.partial(
+            _gbuffer_kernel_resident, n_pad=n_pad_res, nb=nb_res,
+            m_pad=m_pad, width=width, height=height, aa_jitter=aa_jitter,
+            single_sided=single_sided,
+        )
+        full2 = lambda i, j: (0, 0)  # noqa: E731
+        out = pl.pallas_call(
+            kernel,
+            grid=(height // 8, width // 128),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((4, n_pad_res), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad_res, ATTR_COLS), full2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_pad, MAT_COLS), full2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (GB_CH, 8, 128), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((GB_CH, height, width), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(cam_vec, lcam_vec, jnp.asarray([looper], jnp.uint32),
+          xu, xv, xw, attr_res, mat)
+        return out.reshape(GB_CH, r // 128, 128)
+
     # per-tile frustum-culled cluster work lists (front-to-back)
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
     counts, ids, dmin = _primary_cluster_lists(
@@ -635,8 +789,25 @@ def make_xy_grid(width: int, height: int):
 def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
                        lumaux_ref, tri_lo_ref, light_ref, looper_ref,
                        out_ref, *, l_pad, k, single_sided):
+    """Lane-batched RIS candidate stage.
+
+    Round-2 profiling (BASELINE.md) showed the K-iteration candidate
+    loop dominated by Mosaic's fixed per-op dispatch overhead on narrow
+    elementwise chains (~15 ms per ~50-op chain at 1080p, independent of
+    layout). This rewrite runs all K candidates through ONE op chain:
+    per-candidate quantities live as a [K*8, 128] array whose 8-sublane
+    blocks are candidates (a flat [K*B] lane order shared with the
+    [L, K*B] selection matrices), so the chain executes K-for-1.
+
+    Winner selection is a single-draw inverse CDF over the K candidate
+    weights — distribution-identical to the reference's K streaming
+    reservoir updates (restir.h:38-44: P(pick k) = w_k / W either way)
+    and mirrored exactly by models/restir_di._ris_cdf. The selection
+    draw is candidate 0's 4th uniform (unused by the draw itself).
+    """
     cg = gb_ref.shape[1]
     b = cg * 128
+    kb = k * cg  # batched sublane rows
 
     def ch(i):
         return gb_ref[i, :, :].reshape(b)
@@ -652,8 +823,7 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     mtype = ch(G_MTYPE)
     metallic = ch(G_METAL)
     roughness = ch(G_ROUGH)
-    shade = ch(G_SHADE) > 0.5
-    prim_origin = ch(G_PRIM).astype(jnp.int32)
+    shade_f = ch(G_SHADE)
 
     # shading normal orientation (models/restir_di.py: non-dielectric
     # normals flip toward wo)
@@ -662,7 +832,8 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     sgn = jnp.where(flip, -1.0, 1.0)
     nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
 
-    # ---- RIS candidate stage (identical math to ris_kernel._ris_kernel)
+    # ---- per-(light, pixel) target weights (identical math to
+    # ris_kernel._ris_kernel)
     ndx = _dot3(nx, ny, nz, px, py, pz)
     ones_b = jnp.ones_like(px)
     phi_a = jnp.stack([nx, ny, nz, -ndx], axis=0)
@@ -681,87 +852,126 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
 
     cdf = dot_exact_a(tri_lo_ref[:, :], t)
     total = cdf[l_pad - 1, :]
-    has_any = total > 0.0
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (l_pad, b), 0)
     light_split = _hi_mid_lo(light_ref[:, :])
 
-    zero = jnp.zeros_like(px)
-    r_li_x, r_li_y, r_li_z = zero, zero, zero
-    r_wi_x, r_wi_y, r_wi_z = zero, zero, zero
-    r_dist = zero
-    r_weight = zero
+    def wide(v):
+        # [B] per-pixel value -> [K*8, 128] candidate-block array
+        v2 = v.reshape(cg, 128)
+        return jnp.concatenate([v2] * k, axis=0)
 
-    for kk in range(k):
-        u1, u2, u3, u4 = _pcg4d(
-            pix, jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), _CTR_RIS + kk, jnp.uint32),
-            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
-        )
-        r1, r2, r3, r4 = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
+    # ---- batched RNG: candidate kk's draws in sublane block kk (same
+    # pcg4d streams as the per-candidate loop / utils.rng)
+    pix_w = wide(pix)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (kb, 128), 0) // cg
+    u1, u2, u3, u4 = _pcg4d(
+        pix_w, jnp.full((kb, 128), looper, jnp.uint32),
+        (_CTR_RIS + blk).astype(jnp.uint32),
+        jnp.full((kb, 128), _SALT_RESTIR, jnp.uint32),
+    )
+    r1w, r2w, r3w, r4w = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
 
-        thresh = r1 * total
-        below = (cdf <= thresh[None, :]).astype(jnp.int32)
-        idx = jnp.minimum(jnp.sum(below, axis=0), l_pad - 1)
-        onehot = row_ids == idx[None, :]
-        q = jnp.sum(jnp.where(onehot, t, 0.0), axis=0) / jnp.maximum(total, 1e-20)
-        fetch = dot_exact_b(
-            light_ref[:, :], onehot.astype(jnp.float32), a_split=light_split
-        )
+    # ---- batched inverse-CDF light pick on [L, K*B]
+    total_w = wide(total)
+    thresh_flat = (r1w * total_w).reshape(k * b)
+    cdf_t = jnp.concatenate([cdf] * k, axis=1)  # [L, K*B]
+    t_t = jnp.concatenate([t] * k, axis=1)
+    below = (cdf_t <= thresh_flat[None, :]).astype(jnp.int32)
+    idx = jnp.minimum(jnp.sum(below, axis=0), l_pad - 1)
+    row_ids_t = jax.lax.broadcasted_iota(jnp.int32, (l_pad, k * b), 0)
+    onehot = row_ids_t == idx[None, :]
+    total_flat = total_w.reshape(k * b)
+    q_flat = jnp.sum(jnp.where(onehot, t_t, 0.0), axis=0) / jnp.maximum(
+        total_flat, 1e-20
+    )
+    fetch = dot_exact_b(
+        light_ref[:, :], onehot.astype(jnp.float32), a_split=light_split
+    )  # [LIGHT_COLS, K*B]
 
-        sr = jnp.sqrt(jnp.maximum(r3, 0.0))
-        bu = 1.0 - sr
-        bv = r2 * sr
-        sx = fetch[0] + bu * fetch[3] + bv * fetch[6]
-        sy = fetch[1] + bu * fetch[4] + bv * fetch[7]
-        sz = fetch[2] + bu * fetch[5] + bv * fetch[8]
-        lnx, lny, lnz = fetch[9], fetch[10], fetch[11]
-        li_x, li_y, li_z = fetch[12], fetch[13], fetch[14]
-        area = fetch[15]
+    def fw(j):
+        return fetch[j].reshape(kb, 128)
 
-        tox, toy, toz = sx - px, sy - py, sz - pz
-        dist2 = jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-20)
-        inv_dist = jax.lax.rsqrt(dist2)
-        dist = dist2 * inv_dist
-        wix, wiy, wiz = tox * inv_dist, toy * inv_dist, toz * inv_dist
+    q_w = q_flat.reshape(kb, 128)
 
-        cos_l = _dot3(lnx, lny, lnz, wix, wiy, wiz)
-        pdf = q * dist2 / jnp.maximum(area * jnp.abs(cos_l), 1e-20)
-        if single_sided:
-            pdf = jnp.where(cos_l <= -1e-6, pdf, -1.0)
-        pdf = jnp.where(has_any & (q > 0.0), pdf, -1.0)
+    # ---- one candidate-math chain for all K candidates
+    sr = jnp.sqrt(jnp.maximum(r3w, 0.0))
+    bu = 1.0 - sr
+    bv = r2w * sr
+    sx = fw(0) + bu * fw(3) + bv * fw(6)
+    sy = fw(1) + bu * fw(4) + bv * fw(7)
+    sz = fw(2) + bu * fw(5) + bv * fw(8)
+    lnx, lny, lnz = fw(9), fw(10), fw(11)
+    li_xw, li_yw, li_zw = fw(12), fw(13), fw(14)
+    area = fw(15)
 
-        f_lum = _eval_bsdf_lum(
-            mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
-            wix, wiy, wiz,
-        )
-        li_lum = 0.2126 * li_x + 0.7152 * li_y + 0.0722 * li_z
-        cos_s = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0)
-        p_hat = li_lum * f_lum * cos_s
-        w = p_hat / pdf
-        bad = jnp.isnan(w) | jnp.isinf(w) | (pdf <= 0.0)
-        w = jnp.where(bad | ~shade, 0.0, w)
+    px_w, py_w, pz_w = wide(px), wide(py), wide(pz)
+    tox, toy, toz = sx - px_w, sy - py_w, sz - pz_w
+    dist2 = jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-20)
+    inv_dist = jax.lax.rsqrt(dist2)
+    dist_w = dist2 * inv_dist
+    wixw, wiyw, wizw = tox * inv_dist, toy * inv_dist, toz * inv_dist
 
-        r_weight_new = r_weight + w
-        take = shade & (r4 * r_weight_new < w)
-        r_li_x = jnp.where(take, li_x, r_li_x)
-        r_li_y = jnp.where(take, li_y, r_li_y)
-        r_li_z = jnp.where(take, li_z, r_li_z)
-        r_wi_x = jnp.where(take, wix, r_wi_x)
-        r_wi_y = jnp.where(take, wiy, r_wi_y)
-        r_wi_z = jnp.where(take, wiz, r_wi_z)
-        r_dist = jnp.where(take, dist, r_dist)
-        r_weight = jnp.where(shade, r_weight_new, r_weight)
+    cos_l = _dot3(lnx, lny, lnz, wixw, wiyw, wizw)
+    pdf = q_w * dist2 / jnp.maximum(area * jnp.abs(cos_l), 1e-20)
+    if single_sided:
+        pdf = jnp.where(cos_l <= -1e-6, pdf, -1.0)
+    pdf = jnp.where((total_w > 0.0) & (q_w > 0.0), pdf, -1.0)
+
+    nx_w, ny_w, nz_w = wide(nx), wide(ny), wide(nz)
+    wox_w, woy_w, woz_w = wide(wox), wide(woy), wide(woz)
+    f_lum = _eval_bsdf_lum(
+        wide(mtype), wide(metallic), wide(roughness),
+        nx_w, ny_w, nz_w, wox_w, woy_w, woz_w, wixw, wiyw, wizw,
+    )
+    li_lum = 0.2126 * li_xw + 0.7152 * li_yw + 0.0722 * li_zw
+    cos_s = jnp.maximum(_dot3(nx_w, ny_w, nz_w, wixw, wiyw, wizw), 0.0)
+    p_hat = li_lum * f_lum * cos_s
+    w = p_hat / pdf
+    shade_w = wide(shade_f) > 0.5
+    bad = jnp.isnan(w) | jnp.isinf(w) | (pdf <= 0.0)
+    w = jnp.where(bad | ~shade_w, 0.0, w)
+
+    # ---- single-draw winner selection across the K blocks
+    def blk_get(arr, j):
+        return arr[j * cg:(j + 1) * cg, :]
+
+    cums = []
+    c = blk_get(w, 0)
+    for j in range(1, k):
+        cums.append(c)
+        c = c + blk_get(w, j)
+    r_weight = c  # == W; already 0 on ~shade lanes
+    thresh_sel = blk_get(r4w, 0) * r_weight
+    jsel = jnp.zeros_like(r_weight)
+    for cj in cums:
+        jsel = jsel + (cj <= thresh_sel).astype(jnp.float32)
+    shade2d = shade_f.reshape(cg, 128) > 0.5
+    gate = jnp.where((r_weight > 0.0) & shade2d, 1.0, 0.0)
+    take_all = jnp.concatenate(
+        [(jsel == float(j)).astype(jnp.float32) * gate for j in range(k)],
+        axis=0,
+    )  # [K*8, 128]
+
+    # winner attributes via one exact block-sum selector matmul:
+    # P[s, j*8+s] = 1 sums candidate blocks; take_all one-hots the winner
+    a_cat = jnp.concatenate(
+        [li_xw, li_yw, li_zw, wixw, wiyw, wizw, dist_w], axis=1
+    )  # [K*8, 7*128]
+    take_cat = jnp.concatenate([take_all] * 7, axis=1)
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (cg, kb), 0)
+    colp = jax.lax.broadcasted_iota(jnp.int32, (cg, kb), 1)
+    p_sel = (jax.lax.rem(colp, cg) == rowp).astype(jnp.float32)
+    sel = dot_exact_a(p_sel, a_cat * take_cat)  # [8, 7*128]
 
     def put1(i, val):
-        out_ref[i, :, :] = val.reshape(cg, 128)
+        out_ref[i, :, :] = val
 
-    put1(RS_LI, r_li_x)
-    put1(RS_LI + 1, r_li_y)
-    put1(RS_LI + 2, r_li_z)
-    put1(RS_WI, r_wi_x)
-    put1(RS_WI + 1, r_wi_y)
-    put1(RS_WI + 2, r_wi_z)
-    put1(RS_DIST, r_dist)
+    put1(RS_LI, sel[:, 0:128])
+    put1(RS_LI + 1, sel[:, 128:256])
+    put1(RS_LI + 2, sel[:, 256:384])
+    put1(RS_WI, sel[:, 384:512])
+    put1(RS_WI + 1, sel[:, 512:640])
+    put1(RS_WI + 2, sel[:, 640:768])
+    put1(RS_DIST, sel[:, 768:896])
     put1(RS_W, r_weight)
 
 
@@ -931,7 +1141,115 @@ def _vis_temporal_kernel(vcounts_ref, w0_ref, vids_hbm_ref, gb_ref, rs_ref,
     # zeroing below is a no-op for them
     r_weight = jnp.where(occluded > 0.5, 0.0, r_weight)
 
-    # ---- temporal reuse (restir.cu:180-185; findTemporalNeighbor :21-45)
+    _temporal_merge_pack(
+        gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem, looper, pix,
+        (r_li_x, r_li_y, r_li_z, r_wi_x, r_wi_y, r_wi_z, r_dist, r_weight,
+         r_m),
+        window=window, temporal=temporal, temporal_clamp=temporal_clamp,
+    )
+
+
+def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xu_ref, xv_ref, xw_ref,
+                         prev_ref, looper_ref, out_ref, win_ref, sem,
+                         *, k, nb, n_pad, window, temporal, temporal_clamp):
+    """Small-scene variant of _vis_temporal_kernel: triangle planes are
+    VMEM-resident and the any-hit loop is a plain block fori (no work
+    lists, no per-cluster DMA sync)."""
+    cg = gb_ref.shape[1]
+    b = cg * 128
+
+    def ch(i):
+        return gb_ref[i, :, :].reshape(b)
+
+    tile_id = pl.program_id(0)
+    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    looper = looper_ref[0]
+
+    if temporal:
+        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        pltpu.make_async_copy(
+            prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
+        ).start()
+
+    px, py, pz = ch(G_POS), ch(G_POS + 1), ch(G_POS + 2)
+    shade = ch(G_SHADE) > 0.5
+    prim_origin = ch(G_PRIM).astype(jnp.int32)
+
+    def rch(i):
+        return rs_ref[i, :, :].reshape(b)
+
+    r_li_x, r_li_y, r_li_z = rch(RS_LI), rch(RS_LI + 1), rch(RS_LI + 2)
+    r_wi_x, r_wi_y, r_wi_z = rch(RS_WI), rch(RS_WI + 1), rch(RS_WI + 2)
+    r_dist = rch(RS_DIST)
+    r_weight = rch(RS_W)
+    r_m = jnp.where(shade, float(k), 0.0)
+
+    # winner visibility (restir.cu:172-176), brute over resident blocks
+    ox = px + r_wi_x * 1e-5
+    oy = py + r_wi_y * 1e-5
+    oz = pz + r_wi_z * 1e-5
+    limit = r_dist * (1.0 - 1e-3) - 1e-4
+    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)
+    dh4 = jnp.stack([r_wi_x, r_wi_y, r_wi_z, jnp.zeros_like(ox)], axis=0)
+    oh4_split = _hi_lo(oh4)
+    dh4_split = _hi_lo(dh4)
+
+    def vis_body(i, occluded):
+        col = pl.multiple_of(i * nb, nb)
+        xu = xu_ref[:, pl.ds(col, nb)]
+        xv = xv_ref[:, pl.ds(col, nb)]
+        xw = xw_ref[:, pl.ds(col, nb)]
+        oou = dot_f32x3(xu.T, None, b_split=oh4_split)
+        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
+        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
+        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
+        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
+        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
+        nondeg = jnp.abs(ddw) >= 1e-12
+        tt = -oow / jnp.where(nondeg, ddw, 1.0)
+        uu = oou + tt * ddu
+        vv = oov + tt * ddv
+        tri_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0) + i * nb
+        blocked = (
+            nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0)
+            & (uu + vv <= 1.0)
+            & (tt < limit[None, :])
+            & (tri_ids != prim_origin[None, :])
+        )
+        return jnp.maximum(
+            occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
+        )
+
+    occluded = jax.lax.fori_loop(
+        0, n_pad // nb, vis_body, jnp.zeros_like(r_weight)
+    )
+    r_weight = jnp.where(occluded > 0.5, 0.0, r_weight)
+
+    _temporal_merge_pack(
+        gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem, looper, pix,
+        (r_li_x, r_li_y, r_li_z, r_wi_x, r_wi_y, r_wi_z, r_dist, r_weight,
+         r_m),
+        window=window, temporal=temporal, temporal_clamp=temporal_clamp,
+    )
+
+
+def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem,
+                         looper, pix, res, *, window, temporal,
+                         temporal_clamp):
+    """Temporal reuse (restir.cu:180-185; findTemporalNeighbor :21-45) +
+    pt-pack write, shared by the streaming and resident vis kernels. The
+    caller must have STARTED the window DMA (prev -> win_ref via sem)."""
+    cg = gb_ref.shape[1]
+    b = cg * 128
+    tile_id = pl.program_id(0)
+    (r_li_x, r_li_y, r_li_z, r_wi_x, r_wi_y, r_wi_z, r_dist, r_weight,
+     r_m) = res
+
+    def ch(i):
+        return gb_ref[i, :, :].reshape(b)
+
+    shade = ch(G_SHADE) > 0.5
+
     if temporal:
         w0 = pl.multiple_of(w0_ref[tile_id], 128)
         dma = pltpu.make_async_copy(
@@ -1136,10 +1454,13 @@ def reuse_pallas(
     )(gb_pack, psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table,
       jnp.asarray([looper], jnp.uint32))
 
-    # ---- XLA: shadow-segment cluster lists + temporal window starts
-    vcounts, vids, v_kp = _segment_cluster_lists(
-        gb_pack, rs, _TILE, cluster_lo, cluster_hi
-    )
+    # ---- XLA: temporal window starts (+ shadow-segment cluster lists
+    # on the streaming path)
+    resident = n_tri <= _RESIDENT_MAX_TRIS
+    if not resident:
+        vcounts, vids, v_kp = _segment_cluster_lists(
+            gb_pack, rs, _TILE, cluster_lo, cluster_hi
+        )
     kz = cluster_lo.shape[0]
     clb = jnp.concatenate(
         [cluster_lo.astype(jnp.float32), jnp.zeros((kz, 1)),
@@ -1155,6 +1476,49 @@ def reuse_pallas(
     # HBM DMA starts must be 128-aligned on the lane dim (Mosaic tiling)
     w0 = (w0 // 128) * 128
     w0 = jnp.clip(w0, 0, max(r - window, 0))
+
+    if resident:
+        # ---- kernel R2 (resident): VMEM geometry, no work lists
+        nb_res = min(256, n_pad)
+        n_pad_res = _round_up(n_pad, nb_res)
+        xu_r, xv_r, xw_r = _split_planes(tri_xform, n_pad_res)
+        r2 = functools.partial(
+            _vis_resident_kernel, k=k, nb=nb_res, n_pad=n_pad_res,
+            window=window, temporal=temporal, temporal_clamp=temporal_clamp,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((GB_CH, tg, 128), lambda i, *_: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RS_CH, tg, 128), lambda i, *_: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (PT_CH, tg, 128), lambda i, *_: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((PT_CH, window), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            r2,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((PT_CH, g, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(w0, gb_pack, rs, xu_r, xv_r, xw_r, prev_pack,
+          jnp.asarray([looper], jnp.uint32))
 
     # ---- kernel R2: winner visibility (culled) + temporal merge
     r2 = functools.partial(
@@ -1234,14 +1598,13 @@ def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
 
     if reuse_spatial:
         # aggregate neighbor reservoir (mergeSpatialNeighborDirect,
-        # restir.cu:87-100); offsets drawn per (tile, neighbor, frame)
-        zero = jnp.zeros_like(r_weight)
-        a_li_x, a_li_y, a_li_z = zero, zero, zero
-        a_wi_x, a_wi_y, a_wi_z = zero, zero, zero
-        a_dist = zero
-        a_weight = zero
-        a_m = zero
-
+        # restir.cu:87-100); offsets drawn per (tile, neighbor, frame).
+        # All N neighbors ride ONE op chain as an [N*8, 128] sublane-
+        # block array (same batching as _ris_select_kernel: Mosaic's
+        # fixed per-op dispatch dominates N narrow chains), and the
+        # aggregate winner is a single-draw inverse CDF over the N
+        # neighbor weights — distribution-identical to N streaming
+        # merges (P(pick i) = w_i / W either way).
         nwin = b + 128
         # issue ALL neighbor window DMAs up front (they run on parallel
         # DMA engines; serializing start/wait pairs costs ~2.5 us each,
@@ -1251,66 +1614,113 @@ def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
             pltpu.make_async_copy(
                 pt_hbm_ref.at[:, pl.ds(start, nwin)], nbr_ref.at[i], sem.at[i]
             ).start()
+        rolled_all = []
         for i in range(neighbors):
             # per-(tile, neighbor, frame) offsets, precomputed in XLA:
             # (128-aligned dma start, dx, dy, lane residue, valid). The
             # window is fetched 128 lanes wide of the target and rotated
             # by the residue (HBM DMA starts must be 128-aligned).
-            start = pl.multiple_of(off_ref[0, i, 0], 128)
-            dxs = off_ref[0, i, 1]
-            dys = off_ref[0, i, 2]
             delta = off_ref[0, i, 3]
-            usable = off_ref[0, i, 4] > 0
             pltpu.make_async_copy(
-                pt_hbm_ref.at[:, pl.ds(start, nwin)], nbr_ref.at[i], sem.at[i]
+                pt_hbm_ref.at[:, pl.ds(pl.multiple_of(off_ref[0, i, 0], 128),
+                                       nwin)],
+                nbr_ref.at[i], sem.at[i]
             ).wait()
-            rolled = pltpu.roll(nbr_ref[i, :, :], nwin - delta, axis=1)
-            dxf = dxs.astype(jnp.float32)
-            dyf = dys.astype(jnp.float32)
-            wf = float(width)
-            npx = x + dxf
-            npy = y + dyf
-            # the fetch is a LINEAR window: lanes whose x+dx crosses the
-            # row edge received a wrapped pixel — reject them (same
-            # bounds mask as the XLA path's rolled-image fetch)
-            ok = (
-                usable
-                & (npx >= 0.0) & (npx < wf)
-                & (npy >= 0.0) & (npy < float(height))
+            rolled_all.append(
+                pltpu.roll(nbr_ref[i, :, :], nwin - delta, axis=1)[:, 0:b]
+            )
+        rolled_cat = jnp.concatenate(rolled_all, axis=1)  # [PT_CH, N*B]
+        nb8 = neighbors * cg
+
+        def nrow(q):
+            return rolled_cat[q].reshape(nb8, 128)
+
+        def wide(v):  # [B] per-pixel -> [N*8, 128] neighbor blocks
+            v2 = v.reshape(cg, 128)
+            return jnp.concatenate([v2] * neighbors, axis=0)
+
+        def scal(col, cast=True):  # per-neighbor SMEM scalar -> blocks
+            vals = [off_ref[0, i, col] for i in range(neighbors)]
+            if cast:
+                vals = [v.astype(jnp.float32) for v in vals]
+            return jnp.concatenate(
+                [jnp.full((cg, 128), v) for v in vals], axis=0
             )
 
-            n_prim = rolled[P_PRIMR, :b]
-            n_nx = rolled[P_NORM, :b]
-            n_ny = rolled[P_NORM + 1, :b]
-            n_nz = rolled[P_NORM + 2, :b]
-            n_depth = rolled[P_DEPTH, :b]
-            n_weight = rolled[P_WEIGHT, :b]
-            n_m = rolled[P_M, :b]
+        dx_w = scal(1)
+        dy_w = scal(2)
+        usable_w = scal(4) > 0.5
+        npx = wide(x) + dx_w
+        npy = wide(y) + dy_w
+        # the fetch is a LINEAR window: lanes whose x+dx crosses the
+        # row edge received a wrapped pixel — reject them (same
+        # bounds mask as the XLA path's rolled-image fetch)
+        ok = (
+            usable_w
+            & (npx >= 0.0) & (npx < float(width))
+            & (npy >= 0.0) & (npy < float(height))
+        )
+        n_weight = nrow(P_WEIGHT)
+        ok = ok & (nrow(P_PRIMR) == wide(prim_remap))
+        ok = ok & (
+            _dot3(wide(g_nx), wide(g_ny), wide(g_nz),
+                  nrow(P_NORM), nrow(P_NORM + 1), nrow(P_NORM + 2)) >= 0.9
+        )
+        depth_w = wide(depth)
+        ok = ok & (jnp.abs(depth_w - nrow(P_DEPTH)) <= depth_w * 0.1)
+        n_bad = jnp.isnan(n_weight) | jnp.isinf(n_weight) | (n_weight < 0.0)
+        ok = ok & ~n_bad
+        okf = ok.astype(jnp.float32)
+        w_all = okf * n_weight
 
-            ok = ok & (n_prim == prim_remap)
-            ok = ok & (_dot3(g_nx, g_ny, g_nz, n_nx, n_ny, n_nz) >= 0.9)
-            ok = ok & (jnp.abs(depth - n_depth) <= depth * 0.1)
-            n_bad = jnp.isnan(n_weight) | jnp.isinf(n_weight) | (n_weight < 0.0)
-            ok = ok & ~n_bad
+        def blk(arr, j):
+            return arr[j * cg:(j + 1) * cg, :]
 
-            u1, _, _, _ = _pcg4d(
-                pix, jnp.full((b,), looper, jnp.uint32),
-                jnp.full((b,), _CTR_SPATIAL + i, jnp.uint32),
-                jnp.full((b,), _SALT_RESTIR, jnp.uint32),
-            )
-            r3 = _unit(u1)
-            w_new = jnp.where(ok, a_weight + n_weight, a_weight)
-            m_new = jnp.where(ok, a_m + n_m, a_m)
-            take = ok & (r3 * w_new < n_weight)
-            a_li_x = jnp.where(take, rolled[P_LI, :b], a_li_x)
-            a_li_y = jnp.where(take, rolled[P_LI + 1, :b], a_li_y)
-            a_li_z = jnp.where(take, rolled[P_LI + 2, :b], a_li_z)
-            a_wi_x = jnp.where(take, rolled[P_WI, :b], a_wi_x)
-            a_wi_y = jnp.where(take, rolled[P_WI + 1, :b], a_wi_y)
-            a_wi_z = jnp.where(take, rolled[P_WI + 2, :b], a_wi_z)
-            a_dist = jnp.where(take, rolled[P_DIST, :b], a_dist)
-            a_weight = w_new
-            a_m = m_new
+        cums = []
+        c = blk(w_all, 0)
+        for j in range(1, neighbors):
+            cums.append(c)
+            c = c + blk(w_all, j)
+        a_weight = c
+        m_masked = okf * nrow(P_M)
+        a_m = blk(m_masked, 0)
+        for j in range(1, neighbors):
+            a_m = a_m + blk(m_masked, j)
+
+        u1, _, _, _ = _pcg4d(
+            pix, jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), _CTR_SPATIAL, jnp.uint32),
+            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
+        )
+        thresh = _unit(u1).reshape(cg, 128) * a_weight
+        jsel = jnp.zeros_like(a_weight)
+        for cj in cums:
+            jsel = jsel + (cj <= thresh).astype(jnp.float32)
+        gate = jnp.where(a_weight > 0.0, 1.0, 0.0)
+        take_all = jnp.concatenate(
+            [(jsel == float(j)).astype(jnp.float32) * gate
+             for j in range(neighbors)],
+            axis=0,
+        ) * okf
+        a_cat = jnp.concatenate(
+            [nrow(P_LI), nrow(P_LI + 1), nrow(P_LI + 2),
+             nrow(P_WI), nrow(P_WI + 1), nrow(P_WI + 2), nrow(P_DIST)],
+            axis=1,
+        )  # [N*8, 7*128]
+        take_cat = jnp.concatenate([take_all] * 7, axis=1)
+        rowp = jax.lax.broadcasted_iota(jnp.int32, (cg, nb8), 0)
+        colp = jax.lax.broadcasted_iota(jnp.int32, (cg, nb8), 1)
+        p_sel = (jax.lax.rem(colp, cg) == rowp).astype(jnp.float32)
+        sel = dot_exact_a(p_sel, a_cat * take_cat)  # [8, 7*128]
+        a_li_x = sel[:, 0:128].reshape(b)
+        a_li_y = sel[:, 128:256].reshape(b)
+        a_li_z = sel[:, 256:384].reshape(b)
+        a_wi_x = sel[:, 384:512].reshape(b)
+        a_wi_y = sel[:, 512:640].reshape(b)
+        a_wi_z = sel[:, 640:768].reshape(b)
+        a_dist = sel[:, 768:896].reshape(b)
+        a_weight = a_weight.reshape(b)
+        a_m = a_m.reshape(b)
 
         # merge(self, agg, r_s) (restir.cu:205-210)
         a_bad = jnp.isnan(a_weight) | jnp.isinf(a_weight) | (a_weight < 0.0)

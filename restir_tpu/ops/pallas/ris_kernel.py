@@ -184,10 +184,8 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
 
     # ---- K candidate draws + streaming reservoir (all [B] registers)
     zero = jnp.zeros_like(px)
-    r_li_x, r_li_y, r_li_z = zero, zero, zero
-    r_wi_x, r_wi_y, r_wi_z = zero, zero, zero
-    r_dist = zero
-    r_weight = zero
+    ws, attrs = [], []
+    r_sel = None
 
     for kk in range(k):
         u1, u2, u3, u4 = _pcg4d(
@@ -196,6 +194,8 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
             jnp.full((b,), 0x02, jnp.uint32),
         )
         r1, r2, r3, r4 = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
+        if kk == 0:
+            r_sel = r4  # selection draw (see winner pick below)
 
         thresh = r1 * total
         below = (cdf <= thresh[None, :]).astype(jnp.int32)
@@ -240,9 +240,29 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
         w = p_hat / pdf
         bad = jnp.isnan(w) | jnp.isinf(w) | (pdf <= 0.0)
         w = jnp.where(bad | ~shade, 0.0, w)
+        ws.append(w)
+        attrs.append((li_x, li_y, li_z, wix, wiy, wiz, dist))
 
-        r_weight_new = r_weight + w
-        take = shade & (r4 * r_weight_new < w)
+    # single-draw inverse-CDF winner: P(pick k) = w_k / W, the same
+    # distribution as the reference's K streaming updates (restir.h:38-44)
+    # — mirrors models/restir_di._ris_cdf bit-for-bit
+    cums = []
+    c = ws[0]
+    for kk in range(1, k):
+        cums.append(c)
+        c = c + ws[kk]
+    r_weight = c
+    thresh = r_sel * r_weight
+    jsel = jnp.zeros_like(r_weight)
+    for cj in cums:
+        jsel = jsel + (cj <= thresh).astype(jnp.float32)
+    gate = shade & (r_weight > 0.0)
+    r_li_x, r_li_y, r_li_z = zero, zero, zero
+    r_wi_x, r_wi_y, r_wi_z = zero, zero, zero
+    r_dist = zero
+    for kk in range(k):
+        take = gate & (jsel == float(kk))
+        li_x, li_y, li_z, wix, wiy, wiz, dist = attrs[kk]
         r_li_x = jnp.where(take, li_x, r_li_x)
         r_li_y = jnp.where(take, li_y, r_li_y)
         r_li_z = jnp.where(take, li_z, r_li_z)
@@ -250,7 +270,6 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
         r_wi_y = jnp.where(take, wiy, r_wi_y)
         r_wi_z = jnp.where(take, wiz, r_wi_z)
         r_dist = jnp.where(take, dist, r_dist)
-        r_weight = jnp.where(shade, r_weight_new, r_weight)
 
     m_count = jnp.where(shade, float(k), 0.0)
 

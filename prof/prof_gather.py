@@ -76,10 +76,25 @@ def k_lane(idx_ref, tbl_ref, out_ref):
     out_ref[...] = out
 
 
+# variant 3: transcendentals (env-map direction math)
+def k_trans(idx_ref, tbl_ref, out_ref):
+    x = idx_ref[...].astype(jnp.float32) * 1e-3
+    y = jnp.sin(x) + jnp.cos(x)
+    out_ref[...] = y
+
+
+def k_atan2(idx_ref, tbl_ref, out_ref):
+    x = idx_ref[...].astype(jnp.float32) * 1e-3
+    out_ref[...] = jnp.arctan2(x, 1.0 + x) + jnp.arccos(
+        jnp.clip(x * 1e-4, -1.0, 1.0))
+
+
 def main():
     try_variant("take_along_axis sublane [1024,128] tbl", k_sub, (1024, 128))
     try_variant("take_along_axis sublane [8192,128] tbl", k_sub, (8192, 128))
     try_variant("take_along_axis lane [8, 2048] tbl", k_lane, (8, 2048))
+    try_variant("sin/cos", k_trans, (8, 128))
+    try_variant("atan2/acos", k_atan2, (8, 128))
 
 
 if __name__ == "__main__":

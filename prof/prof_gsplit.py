@@ -96,3 +96,67 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# appended: constant-only kernel (no raygen, no hit, no epilogue)
+def run_const():
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    width, height = 1920, 1080
+
+    def kernel(cam_ref, out_ref):
+        t = cam_ref[0]
+        for i in range(fk.GB_CH):
+            out_ref[i, 0, 0, :, :] = jnp.full((8, 128), t + float(i))
+
+    cam_vec = jnp.arange(16, dtype=jnp.float32)
+    fn = jax.jit(lambda: pl.pallas_call(
+        kernel,
+        grid=(height // 8, width // 128),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((fk.GB_CH, 1, 1, 8, 128),
+                               lambda i, j: (0, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (fk.GB_CH, height // 8, width // 128, 8, 128), jnp.float32),
+    )(cam_vec))
+    print("const-only:", round(timeit(fn), 2))
+
+
+def run_raygen_only():
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    width, height = 1920, 1080
+
+    def kernel(cam_ref, looper_ref, out_ref):
+        x, y, pix = fk._tile_raster_xy(width)
+        looper = looper_ref[0]
+        ox, oy, oz, dx, dy, dz = fk._raygen(
+            cam_ref, looper, x, y, pix, width=width, height=height,
+            aa_jitter=True)
+        out_ref[0, 0, 0, :, :] = (ox + dx).reshape(8, 128)
+        out_ref[1, 0, 0, :, :] = (oy + dy).reshape(8, 128)
+        out_ref[2, 0, 0, :, :] = (oz + dz).reshape(8, 128)
+        for i in range(3, fk.GB_CH):
+            out_ref[i, 0, 0, :, :] = dz.reshape(8, 128)
+
+    scene, camkw = many_light_scene(n_lights=16, n_blocks=2)
+    cam = make_camera(**camkw)
+    cam_vec = fk.pack_camera(cam, width, height)
+    fn = jax.jit(lambda: pl.pallas_call(
+        kernel,
+        grid=(height // 8, width // 128),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((fk.GB_CH, 1, 1, 8, 128),
+                               lambda i, j: (0, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (fk.GB_CH, height // 8, width // 128, 8, 128), jnp.float32),
+    )(cam_vec, jnp.asarray([0], jnp.uint32)))
+    print("raygen-only:", round(timeit(fn), 2))
+
+
+if __name__ == "__main__":
+    pass

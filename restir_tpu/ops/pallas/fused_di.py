@@ -184,29 +184,43 @@ def _raygen(cam_ref, looper, x, y, pix, *, width, height, aa_jitter):
 
 
 def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
-                      best_u, best_v, a, x, y, ox, oy, oz, dx, dy, dz,
+                      best_u, best_v, at, x, y, ox, oy, oz, dx, dy, dz,
                       *, m_pad, width, height, single_sided):
     """Attribute/material interpolation + motion reprojection + pack
-    write (shared by the streaming and resident closest-hit loops)."""
+    write (shared by the streaming and resident closest-hit loops).
+
+    `at` is the winner's attribute fetch in TRANSPOSED [ATTR_COLS, B]
+    orientation and `mat_ref` is the transposed [MAT_COLS, m_pad]
+    material table: every op here runs on 1-D [B] vectors (8 VPU tiles).
+    The previous rays-major [B, 32]/[B, 3] forms cost 32-128 tiles PER
+    OP (the lane dim pads to 128) — ~40 ms/frame of the round-2 kernel G
+    was this epilogue's narrow-op tile traffic."""
     b = x.shape[0]
     missed = best_dist >= _BIG
     valid0 = ~missed
 
-    u = best_u[:, None]
-    v = best_v[:, None]
-    pos = a[:, 0:3] + u * a[:, 3:6] + v * a[:, 6:9]
-    nrm = a[:, 9:12] + u * a[:, 12:15] + v * a[:, 15:18]
-    nlen = jax.lax.rsqrt(jnp.maximum(jnp.sum(nrm * nrm, axis=1, keepdims=True), 1e-20))
-    nrm = nrm * nlen
-    mat_id = a[:, 24].astype(jnp.int32)
+    u = best_u
+    v = best_v
+    pxp = at[0] + u * at[3] + v * at[6]
+    pyp = at[1] + u * at[4] + v * at[7]
+    pzp = at[2] + u * at[5] + v * at[8]
+    nxp = at[9] + u * at[12] + v * at[15]
+    nyp = at[10] + u * at[13] + v * at[16]
+    nzp = at[11] + u * at[14] + v * at[17]
+    nlen = jax.lax.rsqrt(
+        jnp.maximum(nxp * nxp + nyp * nyp + nzp * nzp, 1e-20)
+    )
+    nxp, nyp, nzp = nxp * nlen, nyp * nlen, nzp * nlen
+    mat_id_f = at[24]
+    mat_id = mat_id_f.astype(jnp.int32)
 
-    mcol = jax.lax.broadcasted_iota(jnp.int32, (b, m_pad), 1)
-    oh_mat = (mcol == mat_id[:, None]).astype(jnp.float32)
-    matp = dot_exact_a(oh_mat, mat_ref[:, :])
+    mrow = jax.lax.broadcasted_iota(jnp.int32, (m_pad, b), 0)
+    oh_mat = (mrow == mat_id[None, :]).astype(jnp.float32)
+    matp = dot_exact_b(mat_ref[:, :], oh_mat)  # [MAT_COLS, B]
 
-    mtype = matp[:, 0]
+    mtype = matp[0]
     is_light = valid0 & (mtype == _LIGHT)
-    ndotd = nrm[:, 0] * dx + nrm[:, 1] * dy + nrm[:, 2] * dz
+    ndotd = nxp * dx + nyp * dy + nzp * dz
     front = ndotd < 0.0
     if single_sided:
         # back-face light hits become misses (gbuffer.cu:32-36)
@@ -217,12 +231,12 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     shade = valid & ~is_light
 
     prim_remap = jnp.where(
-        valid, jnp.where(is_light, LIGHT_ID, a[:, 24]), _NULL
+        valid, jnp.where(is_light, LIGHT_ID, mat_id_f), _NULL
     )
 
-    px = jnp.where(valid, pos[:, 0], 0.0)
-    py = jnp.where(valid, pos[:, 1], 0.0)
-    pz = jnp.where(valid, pos[:, 2], 0.0)
+    px = jnp.where(valid, pxp, 0.0)
+    py = jnp.where(valid, pyp, 0.0)
+    pz = jnp.where(valid, pzp, 0.0)
     tox, toy, toz = px - ox, py - oy, pz - oz
     depth = jnp.where(valid, jnp.sqrt(tox * tox + toy * toy + toz * toz), 1.0)
 
@@ -248,26 +262,37 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
         0.0,
     )
 
-    def put(i, val):
-        out_ref[i, :, :] = val.reshape(8, 128)
+    if out_ref.ndim == 5:
+        # streaming path: 5-D tile-blocked pack [GB_CH, 1, 1, 8, 128].
+        # Per-tile output blocks must be CONTIGUOUS in HBM or the block
+        # copy fragments into 192 strided 512 B transfers per tile
+        # (~390k DMA descriptors/frame = ~70 ms measured at 1080p); an
+        # XLA transpose converts to the linear pack afterwards.
+        def put(i, val):
+            out_ref[i, 0, 0, :, :] = val.reshape(8, 128)
+    else:
+        # resident path: linear-pixel tiles write the pack directly
+        def put(i, val):
+            out_ref[i, :, :] = val.reshape(8, 128)
 
     put(G_POS, px)
     put(G_POS + 1, py)
     put(G_POS + 2, pz)
     vf = valid
-    for k in range(3):
-        put(G_NORM + k, jnp.where(vf, nrm[:, k], 0.0))
+    put(G_NORM, jnp.where(vf, nxp, 0.0))
+    put(G_NORM + 1, jnp.where(vf, nyp, 0.0))
+    put(G_NORM + 2, jnp.where(vf, nzp, 0.0))
     put(G_DIR, dx)
     put(G_DIR + 1, dy)
     put(G_DIR + 2, dz)
     for k in range(3):
-        put(G_ALB + k, jnp.where(vf, matp[:, 1 + k], 0.0))
+        put(G_ALB + k, jnp.where(vf, matp[1 + k], 0.0))
     put(G_DEPTH, depth)
     put(G_MOTION, motion)
     put(G_PRIMR, prim_remap)
     put(G_MTYPE, mtype)
-    put(G_METAL, matp[:, 4])
-    put(G_ROUGH, matp[:, 5])
+    put(G_METAL, matp[4])
+    put(G_ROUGH, matp[5])
     put(G_SHADE, shade.astype(jnp.float32))
     put(G_LIGHT, is_light.astype(jnp.float32))
     put(G_MISS, (~valid).astype(jnp.float32))
@@ -276,59 +301,69 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     put(G_Y, y)
 
 
-def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xu_ref, xv_ref,
-                             xw_ref, attr_ref, mat_ref, out_ref,
+def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
+                             xv_ref, xw_ref, attr_ref, mat_ref, out_ref,
                              *, n_pad, nb, m_pad, width, height, aa_jitter,
                              single_sided):
     """Small-scene variant: triangle planes + attribute rows live in
-    VMEM (no per-cluster DMA, no culling — ~5 us of DMA sync per cluster
-    per tile dominates kernel G on few-hundred-triangle scenes), and the
-    hit matmuls run at a wider block size (fewer MXU dispatches)."""
-    x, y, pix = _tile_raster_xy(width)
-    b = x.shape[0]
+    VMEM (no per-cluster DMA, no culling), the hit matmuls run at a
+    wider block size, and — critically — the grid is 1-D over LINEAR
+    1024-pixel tiles so the output blocks are contiguous rows of the
+    [GB_CH, R/128, 128] pack. 2-D 8x128 pixel tiles (the streaming
+    path's layout, needed there for tight frusta) cost ~70 ms/frame at
+    1080p in layout permutation alone, whether paid as fragmented
+    kernel-output DMA or as an XLA transpose."""
+    tile_id = pl.program_id(0)
+    b = 8 * 128
+    x = xy_ref[0, :, :].reshape(b)
+    y = xy_ref[1, :, :].reshape(b)
+    pix = tile_id * b + jax.lax.broadcasted_iota(
+        jnp.int32, (b, 1), 0
+    ).reshape(b)
     looper = looper_ref[0]
     ox, oy, oz, dx, dy, dz = _raygen(
         cam_ref, looper, x, y, pix, width=width, height=height,
         aa_jitter=aa_jitter,
     )
 
-    oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)  # [B, 4]
-    dh = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=1)
-    oh_split, dh_split = _hi_lo(oh), _hi_lo(dh)
+    # tris-on-sublanes orientation ([nb, B] hit matrices, like the vis
+    # kernels): sublane reductions replace lane reductions, and the
+    # winner's attribute row is fetched ONCE after the loop in the
+    # transposed [ATTR_COLS, B] form the epilogue consumes 1-D.
+    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)  # [4, B]
+    dh4 = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=0)
+    oh4_split, dh4_split = _hi_lo(oh4), _hi_lo(dh4)
 
     def body(i, carry):
-        best_dist, best_prim, best_u, best_v, best_attr = carry
+        best_dist, best_prim, best_u, best_v = carry
         col = pl.multiple_of(i * nb, nb)
         xu = xu_ref[:, pl.ds(col, nb)]
         xv = xv_ref[:, pl.ds(col, nb)]
         xw = xw_ref[:, pl.ds(col, nb)]
-        oou = dot_f32x3(None, xu, a_split=oh_split)
-        oov = dot_f32x3(None, xv, a_split=oh_split)
-        oow = dot_f32x3(None, xw, a_split=oh_split)
-        ddu = dot_f32x3(None, xu, a_split=dh_split)
-        ddv = dot_f32x3(None, xv, a_split=dh_split)
-        ddw = dot_f32x3(None, xw, a_split=dh_split)
+        oou = dot_f32x3(xu.T, None, b_split=oh4_split)  # [nb, B]
+        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
+        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
+        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
+        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
+        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
         nondeg = jnp.abs(ddw) >= 1e-12
         t = -oow / jnp.where(nondeg, ddw, 1.0)
         u = oou + t * ddu
         v = oov + t * ddv
         hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         dist = jnp.where(hit, t, _BIG)
-        j = jnp.argmin(dist, axis=-1)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
-        oh_best = col_ids == j[:, None]
-        d_best = jnp.min(dist, axis=-1)
-        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=-1)
-        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=-1)
-        attr_block = attr_ref[pl.ds(col, nb), 0:ATTR_COLS]
-        attr_best = dot_exact_a(oh_best.astype(jnp.float32), attr_block)
+        j = jnp.argmin(dist, axis=0)  # [B]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0)
+        oh_best = row_ids == j[None, :]
+        d_best = jnp.min(dist, axis=0)
+        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=0)
+        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=0)
         closer = d_best < best_dist
         return (
             jnp.minimum(best_dist, d_best),
             jnp.where(closer, j + i * nb, best_prim),
             jnp.where(closer, u_best, best_u),
             jnp.where(closer, v_best, best_v),
-            jnp.where(closer[:, None], attr_best, best_attr),
         )
 
     init = (
@@ -336,14 +371,17 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xu_ref, xv_ref,
         jnp.full((b,), NULL_PRIMITIVE, jnp.int32),
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.float32),
-        jnp.zeros((b, ATTR_COLS), jnp.float32),
     )
-    best_dist, best_prim, best_u, best_v, a = jax.lax.fori_loop(
+    best_dist, best_prim, best_u, best_v = jax.lax.fori_loop(
         0, n_pad // nb, body, init
     )
+    # winner attribute fetch: [ATTR_COLS, n_pad] @ one-hot [n_pad, B]
+    prow = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
+    oh_prim = (prow == best_prim[None, :]).astype(jnp.float32)
+    at = dot_exact_b(attr_ref[:, :], oh_prim)  # [ATTR_COLS, B]
     _gbuffer_epilogue(
         out_ref, lcam_ref, mat_ref, best_dist, best_prim, best_u, best_v,
-        a, x, y, ox, oy, oz, dx, dy, dz,
+        at, x, y, ox, oy, oz, dx, dy, dz,
         m_pad=m_pad, width=width, height=height, single_sided=single_sided,
     )
 
@@ -377,10 +415,11 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         aa_jitter=aa_jitter,
     )
 
-    # --- closest hit over triangle blocks (bf16-split matmuls)
-    oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)  # [B, 4]
-    dh = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=1)
-    oh_split, dh_split = _hi_lo(oh), _hi_lo(dh)
+    # --- closest hit over triangle blocks (bf16-split matmuls,
+    # tris-on-sublanes orientation — see _gbuffer_kernel_resident)
+    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)  # [4, B]
+    dh4 = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=0)
+    oh4_split, dh4_split = _hi_lo(oh4), _hi_lo(dh4)
     tiny = 1e-12
     inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, tiny, dx)
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, tiny, dy)
@@ -399,7 +438,7 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
             geo_sem.at[slot, 0],
         ).start()
         pltpu.make_async_copy(
-            attr_hbm_ref.at[pl.ds(col, nb), :], attrb_ref.at[slot],
+            attr_hbm_ref.at[:, pl.ds(col, nb)], attrb_ref.at[slot],
             geo_sem.at[slot, 1],
         ).start()
 
@@ -411,7 +450,7 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
             geo_sem.at[slot, 0],
         ).wait()
         pltpu.make_async_copy(
-            attr_hbm_ref.at[pl.ds(col, nb), :], attrb_ref.at[slot],
+            attr_hbm_ref.at[:, pl.ds(col, nb)], attrb_ref.at[slot],
             geo_sem.at[slot, 1],
         ).wait()
 
@@ -461,33 +500,35 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
             xu = xpb_ref[slot, 0:4, :]
             xv = xpb_ref[slot, 4:8, :]
             xw = xpb_ref[slot, 8:12, :]
-            oou = dot_f32x3(None, xu, a_split=oh_split)
-            oov = dot_f32x3(None, xv, a_split=oh_split)
-            oow = dot_f32x3(None, xw, a_split=oh_split)
-            ddu = dot_f32x3(None, xu, a_split=dh_split)
-            ddv = dot_f32x3(None, xv, a_split=dh_split)
-            ddw = dot_f32x3(None, xw, a_split=dh_split)
+            oou = dot_f32x3(xu.T, None, b_split=oh4_split)  # [nb, B]
+            oov = dot_f32x3(xv.T, None, b_split=oh4_split)
+            oow = dot_f32x3(xw.T, None, b_split=oh4_split)
+            ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
+            ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
+            ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
             nondeg = jnp.abs(ddw) >= 1e-12
             t = -oow / jnp.where(nondeg, ddw, 1.0)
             u = oou + t * ddu
             v = oov + t * ddv
             hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             dist = jnp.where(hit, t, _BIG)
-            j = jnp.argmin(dist, axis=-1)
-            col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
-            oh_best = col_ids == j[:, None]
-            d_best = jnp.min(dist, axis=-1)
-            u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=-1)
-            v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=-1)
-            attr_block = attrb_ref[slot, :, 0:ATTR_COLS]
-            attr_best = dot_exact_a(oh_best.astype(jnp.float32), attr_block)
+            j = jnp.argmin(dist, axis=0)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0)
+            oh_best = row_ids == j[None, :]
+            d_best = jnp.min(dist, axis=0)
+            u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=0)
+            v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=0)
+            # transposed attr fetch: [ATTR_COLS, nb] @ one-hot [nb, B]
+            attr_best = dot_exact_b(
+                attrb_ref[slot], oh_best.astype(jnp.float32)
+            )  # [ATTR_COLS, B]
             closer = d_best < best_dist
             return (
                 jnp.minimum(best_dist, d_best),
                 jnp.where(closer, j + c * nb, best_prim),
                 jnp.where(closer, u_best, best_u),
                 jnp.where(closer, v_best, best_v),
-                jnp.where(closer[:, None], attr_best, best_attr),
+                jnp.where(closer[None, :], attr_best, best_attr),
             )
 
         cr0 = (best_dist, best_prim, best_u, best_v, best_attr)
@@ -515,7 +556,7 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
             jnp.full((b,), NULL_PRIMITIVE, jnp.int32),
             jnp.zeros((b,), jnp.float32),
             jnp.zeros((b,), jnp.float32),
-            jnp.zeros((b, ATTR_COLS), jnp.float32),
+            jnp.zeros((ATTR_COLS, b), jnp.float32),
         ),
     )
     n_done, _, (best_dist, best_prim, best_u, best_v, a) = jax.lax.while_loop(
@@ -645,20 +686,21 @@ def gbuffer_pack_pallas(
     xplanes = jnp.concatenate(
         [xu, xv, xw, jnp.zeros((4, n_pad), xu.dtype)], axis=0
     )  # [16, n_pad] (HBM; padded to an (8,128)-aligned sublane count)
+    # attr + material tables travel TRANSPOSED (attributes on sublanes)
+    # so winner fetches land as [ATTR_COLS, B] and the epilogue runs on
+    # 1-D row vectors (see _gbuffer_epilogue)
     attr = prim_attr
     if n_pad != attr.shape[0]:
         attr = jnp.concatenate(
             [attr, jnp.zeros((n_pad - attr.shape[0], ATTR_COLS), attr.dtype)]
         )
-    # pad the lane dim to 128 so per-cluster attr DMAs are tile-aligned
-    attr = jnp.concatenate(
-        [attr, jnp.zeros((n_pad, 128 - ATTR_COLS), attr.dtype)], axis=1
-    )
+    attr_t = attr.T  # [ATTR_COLS, n_pad]
     m = mat_attr.shape[0]
     m_pad = _round_up(m, 8)
     mat = mat_attr
     if m_pad != m:
         mat = jnp.concatenate([mat, jnp.zeros((m_pad - m, MAT_COLS), mat.dtype)])
+    mat_t = mat.T  # [MAT_COLS, m_pad]
 
     if n <= _RESIDENT_MAX_TRIS:
         # small scene: all geometry fits VMEM — skip the cluster
@@ -674,38 +716,42 @@ def gbuffer_pack_pallas(
                 jnp.zeros((n_pad_res - attr_res.shape[0], ATTR_COLS),
                           attr_res.dtype),
             ])
+        attr_res = attr_res.T  # [ATTR_COLS, n_pad_res]
         kernel = functools.partial(
             _gbuffer_kernel_resident, n_pad=n_pad_res, nb=nb_res,
             m_pad=m_pad, width=width, height=height, aa_jitter=aa_jitter,
             single_sided=single_sided,
         )
-        full2 = lambda i, j: (0, 0)  # noqa: E731
+        full1 = lambda i: (0, 0)  # noqa: E731
+        xy = make_xy_grid(width, height)
         out = pl.pallas_call(
             kernel,
-            grid=(height // 8, width // 128),
+            grid=(r // _TILE,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((4, n_pad_res), full2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad_res, ATTR_COLS), full2,
+                pl.BlockSpec((2, _TILE // 128, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((m_pad, MAT_COLS), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full1, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full1, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad_res), full1, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ATTR_COLS, n_pad_res), full1,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((MAT_COLS, m_pad), full1, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (GB_CH, 8, 128), lambda i, j: (0, i, j),
+                (GB_CH, _TILE // 128, 128), lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((GB_CH, height, width), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((GB_CH, r // 128, 128), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(cam_vec, lcam_vec, jnp.asarray([looper], jnp.uint32),
-          xu, xv, xw, attr_res, mat)
-        return out.reshape(GB_CH, r // 128, 128)
+          xy, xu, xv, xw, attr_res, mat_t)
+        return out
 
     # per-tile frustum-culled cluster work lists (front-to-back)
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
@@ -743,32 +789,42 @@ def gbuffer_pack_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # tri planes (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # attr rows (HBM)
-            pl.BlockSpec((m_pad, MAT_COLS), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAT_COLS, m_pad), full, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster bounds
         ],
         out_specs=pl.BlockSpec(
-            (GB_CH, 8, 128), lambda i, j, *_: (0, i, j),
+            (GB_CH, 1, 1, 8, 128), lambda i, j, *_: (0, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.SMEM((kp,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((2, 16, nb), jnp.float32),
-            pltpu.VMEM((2, nb, 128), jnp.float32),
+            pltpu.VMEM((2, ATTR_COLS, nb), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GB_CH, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (GB_CH, height // 8, width // 128, 8, 128), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(counts, dmin, ids, cam_vec, lcam_vec,
-      jnp.asarray([looper], jnp.uint32), xplanes, attr, mat, clb)
-    return out.reshape(GB_CH, g, 128)
+      jnp.asarray([looper], jnp.uint32), xplanes, attr_t, mat_t, clb)
+    return _untile_pack(out, width, height)
+
+
+def _untile_pack(out, width: int, height: int):
+    """[C, H/8, W/128, 8, 128] tile-blocked kernel output -> the linear
+    channel-major pack [C, R/128, 128] (one XLA transpose)."""
+    c = out.shape[0]
+    out = jnp.transpose(out, (0, 1, 3, 2, 4))  # [C, H/8, 8, W/128, 128]
+    return out.reshape(c, (width * height) // 128, 128)
 
 
 def make_xy_grid(width: int, height: int):

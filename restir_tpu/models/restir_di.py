@@ -153,9 +153,9 @@ _RIS_CHUNK = 32768
 def resolve_ris_mode(cfg: RenderConfig) -> str:
     if cfg.ris_mode != "auto":
         return cfg.ris_mode
-    # the CDF sampler covers area lights only; env-map scenes keep the
-    # reference candidate loop
-    return "reference" if cfg.has_env_map else "cdf"
+    # the CDF sampler covers area lights AND env maps (env tile rows,
+    # see ops/lights.sample_light_cdf / scene_data._build_env_tiles)
+    return "cdf"
 
 
 def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, looper):
@@ -170,7 +170,7 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, loop
     stage runs as one fused Pallas kernel (ops/pallas/ris_kernel.py)."""
     from ..ops.intersect import _on_tpu
 
-    if _on_tpu():
+    if _on_tpu() and not cfg.has_env_map:
         from ..ops.pallas.ris_kernel import ris_cdf_pallas
 
         # NOTE: the kernel also runs the winner-visibility pass in-place
@@ -222,6 +222,7 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, loop
             ls = light_ops.sample_light_cdf(
                 scene, pos_c, norm_c, r1, r2, r3,
                 single_sided=cfg.single_sided_lights,
+                has_env=cfg.has_env_map,
             )
             cand = rsv.DirectSample(li=ls.radiance, wi=ls.wi, dist=ls.dist)
             g = _p_hat_direct(cand, mat_c, norm_c, wo_c)
@@ -363,7 +364,11 @@ def restir_direct(
     # ---- 2. winner visibility: occluded => weight 0 (restir.cu:172-176)
     # (the pallas cdf kernel already ran this in-register)
     if not vis_done:
-        target = it.pos + res.sample.wi * res.sample.dist[..., None]
+        # env samples carry dist = ENV_DIST; clamp the segment endpoint
+        # like sample_direct_light (scene.h:386)
+        target = it.pos + res.sample.wi * jnp.minimum(
+            res.sample.dist, 1e6
+        )[..., None]
         occluded = ix.test_occlusion(trv, it.pos, target, active=shade)
         res = res._replace(weight=jnp.where(occluded, 0.0, res.weight))
 

@@ -92,11 +92,14 @@ def step_fused(
     cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
     lcam_vec = fk.pack_camera(state.last_camera, cfg.width, cfg.height)
 
+    has_env = cfg.has_env_map
+
     gb = fk.gbuffer_pack_pallas(
         cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
         scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
         width=cfg.width, height=cfg.height,
         aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
+        has_env=has_env, env_tile_rad=scene.env_tile_rad,
         interpret=interpret,
     )
 
@@ -107,7 +110,10 @@ def step_fused(
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
-        temporal_clamp=cfg.temporal_clamp, interpret=interpret,
+        temporal_clamp=cfg.temporal_clamp,
+        has_env=has_env, env_tile_rad=scene.env_tile_rad,
+        env_tile_uv=scene.env_tile_uv, env_tile_sa=scene.env_tile_sa,
+        interpret=interpret,
     )
 
     accum = fk.spatial_shade_pallas(

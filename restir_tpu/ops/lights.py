@@ -23,6 +23,8 @@ from . import intersect as ix
 from .texture import env_sample_bilinear
 
 INVALID_PDF = -1.0
+# distance carried by env-map samples (vis rays become "until any hit")
+ENV_DIST = 1.0e8
 
 
 class LightSample(NamedTuple):
@@ -124,8 +126,9 @@ def sample_light_cdf(
     scene: SceneData,
     pos,  # [R, 3] shading points
     norm,  # [R, 3] shading normals (oriented toward wo)
-    r1, r2, r3,  # [R] uniforms: CDF draw + triangle point
+    r1, r2, r3,  # [R] uniforms: CDF draw + triangle/tile point
     single_sided: bool = True,
+    has_env: bool = False,
 ) -> LightSample:
     """TPU-native light selection: exact per-pixel CDF over ALL lights.
 
@@ -192,23 +195,47 @@ def sample_light_cdf(
         0.0,
     )  # [R, L]
 
+    if has_env:
+        # env tile grid joins the CDF as extra rows ("virtual lights"):
+        # target T = lum(rad_tile) * sa_tile * relu-ish(n . d_tile).
+        # The fused kernel mirrors this bit-for-bit via extra psi rows
+        # (ops/pallas/fused_di._ris_select_kernel).
+        d_t = mathx.to_sphere(
+            scene.env_tile_uv[:, 0:2] + 0.5 * scene.env_tile_uv[:, 2:4]
+        )  # [ET, 3] tile-center directions
+        a_env = norm @ d_t.T  # [R, ET]
+        # angular half-extent of the tile (horizon tolerance)
+        ang = 0.5 * jnp.sqrt(
+            (mathx.PI * scene.env_tile_uv[:, 3]) ** 2
+            + (mathx.TWO_PI * scene.env_tile_uv[:, 2]) ** 2
+        )
+        lum_sa = mathx.luminance(scene.env_tile_rad) * scene.env_tile_sa
+        t_env = jnp.where(
+            (a_env + ang[None, :]) > 0.0,
+            lum_sa[None, :] * jnp.maximum(a_env, 0.1 * ang[None, :]),
+            0.0,
+        )
+        t = jnp.concatenate([t, t_env], axis=-1)
+
+    n_rows = t.shape[-1]
     cdf = jnp.cumsum(t, axis=-1)
     total = cdf[:, -1]
     has_any = total > 0.0
     thresh = r1 * total
     idx = jnp.sum((cdf <= thresh[..., None]).astype(jnp.int32), axis=-1)
-    idx = jnp.minimum(idx, L - 1)
+    idx = jnp.minimum(idx, n_rows - 1)
 
-    col = jnp.arange(L, dtype=jnp.int32)
+    col = jnp.arange(n_rows, dtype=jnp.int32)
     sel = col[None, :] == idx[..., None]
     q = jnp.sum(jnp.where(sel, t, 0.0), axis=-1) / jnp.maximum(total, 1e-20)
 
-    tri = scene.light_verts[idx]  # [R, 3, 3] — the one gather
+    aidx = jnp.minimum(idx, L - 1)
+    tri = scene.light_verts[aidx]  # [R, 3, 3] — the one gather
     v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
     sampled = mathx.sample_triangle_uniform(v0, v1, v2, r2, r3)
-    lnormal = scene.light_normal[idx]
-    area = scene.light_area[idx]
-    radiance = scene.light_radiance[idx]
+    lnormal = scene.light_normal[aidx]
+    area = scene.light_area[aidx]
+    radiance = scene.light_radiance[aidx]
 
     to_sampled = sampled - pos
     wi = mathx.safe_normalize(to_sampled)
@@ -221,6 +248,28 @@ def sample_light_cdf(
         front = mathx.dot(lnormal, to_sampled) <= -1e-6
         pdf = jnp.where(front, pdf, INVALID_PDF)
     pdf = jnp.where(has_any & (q > 0.0), pdf, INVALID_PDF)
+
+    if has_env:
+        is_env = idx >= L
+        eidx = jnp.maximum(idx - L, 0)
+        euv = scene.env_tile_uv[eidx]  # [R, 4]
+        u_s = euv[..., 0] + r2 * euv[..., 2]
+        v_s = euv[..., 1] + r3 * euv[..., 3]
+        wi_env = mathx.to_sphere(jnp.stack([u_s, v_s], axis=-1))
+        st = jnp.maximum(jnp.sin(v_s * mathx.PI), 1e-6)
+        # uv-uniform in the tile: d(omega) = 2 pi^2 sin(theta) du dv
+        pdf_env = q / jnp.maximum(
+            euv[..., 2] * euv[..., 3] * 2.0 * mathx.PI * mathx.PI * st,
+            1e-20,
+        )
+        pdf_env = jnp.where(has_any & (q > 0.0), pdf_env, INVALID_PDF)
+        pdf = jnp.where(is_env, pdf_env, pdf)
+        radiance = jnp.where(
+            is_env[..., None], scene.env_tile_rad[eidx], radiance
+        )
+        wi = jnp.where(is_env[..., None], wi_env, wi)
+        dist = jnp.where(is_env, ENV_DIST, dist)
+
     return LightSample(pdf=pdf, radiance=radiance, wi=wi, dist=dist)
 
 

@@ -121,12 +121,60 @@ _TILE = 1024
 # below this triangle count, kernels G/R2 keep the whole geometry VMEM-
 # resident (per-cluster DMA sync overhead beats the culling win)
 _RESIDENT_MAX_TRIS = 1024
+_EPI = 3.14159265358979
+_ENV_DIST = 1.0e8  # ops/lights.ENV_DIST (vis ray = "until any hit")
+# env tile grid (must match scene_data.ENV_TILE_H/W)
+_ETH, _ETW = 16, 32
+
+
+def _pseudo_angle_const(phi: float) -> float:
+    """Monotone trig-free angle surrogate p(phi) in [0, 4): evaluated in
+    PYTHON for static tile boundaries; the kernel computes the same p
+    from (dx, dz) with ~6 VPU ops and compares against these."""
+    import math
+
+    ax_, az_ = math.cos(phi), math.sin(phi)
+    p = az_ / (abs(ax_) + abs(az_) + 1e-20)
+    if ax_ < 0:
+        p = 2.0 - p
+    elif az_ < 0:
+        p = 4.0 + p
+    return p
+
+
+def _env_tile_radiance(env_rad_ref, dx, dy, dz):
+    """Piecewise-constant env radiance along (dx,dy,dz), 1-D per lane.
+
+    Tile selection is EXACT and trig-free: the elevation tile comes from
+    15 static cos-threshold compares on dy; the azimuth tile from 31
+    static pseudo-angle-threshold compares on (dx, dz). The winner
+    tile's radiance is a [3, ET] one-hot matmul fetch.
+    """
+    import math
+
+    b = dx.shape[0]
+    ty = jnp.zeros_like(dy)
+    for tt in range(1, _ETH):
+        ty = ty + (dy <= math.cos(math.pi * tt / _ETH)).astype(jnp.float32)
+    p = dz / (jnp.abs(dx) + jnp.abs(dz) + 1e-20)
+    p = jnp.where(dx < 0.0, 2.0 - p, jnp.where(dz < 0.0, 4.0 + p, p))
+    tx = jnp.zeros_like(dy)
+    for s in range(1, _ETW):
+        bound = _pseudo_angle_const(2.0 * math.pi * s / _ETW)
+        tx = tx + (p >= bound).astype(jnp.float32)
+    tile = (ty * float(_ETW) + tx).astype(jnp.int32)
+    et = _ETH * _ETW
+    rows = jax.lax.broadcasted_iota(jnp.int32, (et, b), 0)
+    onehot = (rows == tile[None, :]).astype(jnp.float32)
+    fetch = dot_exact_b(env_rad_ref[0:3, :], onehot)  # [3, B]
+    return fetch[0], fetch[1], fetch[2]
 
 
 def eligible(cfg, scene_has_env: bool, with_textures: bool) -> bool:
+    # env maps are handled natively (env-tile CDF rows + in-kernel
+    # background eval); textures still fall back to the general pipeline
     return (
-        not scene_has_env
-        and not with_textures
+        not with_textures
         and not cfg.enable_dof
         and cfg.width % 128 == 0
         and cfg.height % 8 == 0
@@ -185,7 +233,8 @@ def _raygen(cam_ref, looper, x, y, pix, *, width, height, aa_jitter):
 
 def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
                       best_u, best_v, at, x, y, ox, oy, oz, dx, dy, dz,
-                      *, m_pad, width, height, single_sided):
+                      *, m_pad, width, height, single_sided,
+                      env_rad_ref=None):
     """Attribute/material interpolation + motion reprojection + pack
     write (shared by the streaming and resident closest-hit loops).
 
@@ -285,8 +334,17 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     put(G_DIR, dx)
     put(G_DIR + 1, dy)
     put(G_DIR + 2, dz)
-    for k in range(3):
-        put(G_ALB + k, jnp.where(vf, matp[1 + k], 0.0))
+    if env_rad_ref is not None:
+        # miss pixels carry the env background in the albedo slot (the
+        # demodulated convention: kernel S shades miss as 1.0 * albedo;
+        # gbuffer.cu stores env radiance the same way)
+        ex, ey, ez = _env_tile_radiance(env_rad_ref, dx, dy, dz)
+        put(G_ALB, jnp.where(vf, matp[1], ex))
+        put(G_ALB + 1, jnp.where(vf, matp[2], ey))
+        put(G_ALB + 2, jnp.where(vf, matp[3], ez))
+    else:
+        for k in range(3):
+            put(G_ALB + k, jnp.where(vf, matp[1 + k], 0.0))
     put(G_DEPTH, depth)
     put(G_MOTION, motion)
     put(G_PRIMR, prim_remap)
@@ -302,9 +360,10 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
 
 
 def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
-                             xv_ref, xw_ref, attr_ref, mat_ref, out_ref,
+                             xv_ref, xw_ref, attr_ref, mat_ref, env_ref,
+                             out_ref,
                              *, n_pad, nb, m_pad, width, height, aa_jitter,
-                             single_sided):
+                             single_sided, has_env):
     """Small-scene variant: triangle planes + attribute rows live in
     VMEM (no per-cluster DMA, no culling), the hit matmuls run at a
     wider block size, and — critically — the grid is 1-D over LINEAR
@@ -383,14 +442,16 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
         out_ref, lcam_ref, mat_ref, best_dist, best_prim, best_u, best_v,
         at, x, y, ox, oy, oz, dx, dy, dz,
         m_pad=m_pad, width=width, height=height, single_sided=single_sided,
+        env_rad_ref=env_ref if has_env else None,
     )
 
 
 def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
                     looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref, clb_ref,
-                    out_ref, ids_ref, ids_sem, xpb_ref, attrb_ref, geo_sem,
+                    env_ref, out_ref, ids_ref, ids_sem, xpb_ref, attrb_ref,
+                    geo_sem,
                     *, n_pad, nb, m_pad, width, height, aa_jitter,
-                    single_sided, use_pretest):
+                    single_sided, use_pretest, has_env):
     # 2-D pixel tiles (8 rows x 128 cols): tight frusta for cluster
     # culling; raster coords come from the grid position (no division)
     ti = pl.program_id(0)
@@ -573,6 +634,7 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         out_ref, lcam_ref, mat_ref, best_dist, best_prim, best_u, best_v,
         a, x, y, ox, oy, oz, dx, dy, dz,
         m_pad=m_pad, width=width, height=height, single_sided=single_sided,
+        env_rad_ref=env_ref if has_env else None,
     )
 
 
@@ -666,18 +728,27 @@ def _primary_cluster_lists(cam_vec, width, height, tile, cluster_lo,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "aa_jitter",
-                                              "single_sided", "nb",
+                                              "single_sided", "nb", "has_env",
                                               "interpret"))
 def gbuffer_pack_pallas(
     cam_vec, lcam_vec, looper, tri_xform, prim_attr, mat_attr,
     cluster_lo, cluster_hi,
     width: int, height: int, aa_jitter: bool = True,
     single_sided: bool = True, nb: int = 128,
+    has_env: bool = False, env_tile_rad=None,
     interpret: bool = False,
 ):
     """Returns the gbuffer pack [GB_CH, R/128, 128]. The grid is 2-D
     (8x128-pixel tiles) for tight per-tile cluster frusta."""
     r = width * height
+    if has_env:
+        et = env_tile_rad.shape[0]
+        assert et == _ETH * _ETW
+        env8 = jnp.concatenate(
+            [env_tile_rad.astype(jnp.float32).T, jnp.zeros((5, et))]
+        )  # [8, ET]
+    else:
+        env8 = jnp.zeros((8, 128), jnp.float32)
     assert width % 128 == 0 and height % 8 == 0
     n = tri_xform.shape[1] // 3
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
@@ -720,7 +791,7 @@ def gbuffer_pack_pallas(
         kernel = functools.partial(
             _gbuffer_kernel_resident, n_pad=n_pad_res, nb=nb_res,
             m_pad=m_pad, width=width, height=height, aa_jitter=aa_jitter,
-            single_sided=single_sided,
+            single_sided=single_sided, has_env=has_env,
         )
         full1 = lambda i: (0, 0)  # noqa: E731
         xy = make_xy_grid(width, height)
@@ -739,6 +810,7 @@ def gbuffer_pack_pallas(
                 pl.BlockSpec((ATTR_COLS, n_pad_res), full1,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((MAT_COLS, m_pad), full1, memory_space=pltpu.VMEM),
+                pl.BlockSpec(env8.shape, full1, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (GB_CH, _TILE // 128, 128), lambda i: (0, i, 0),
@@ -750,7 +822,7 @@ def gbuffer_pack_pallas(
             ),
             interpret=interpret,
         )(cam_vec, lcam_vec, jnp.asarray([looper], jnp.uint32),
-          xy, xu, xv, xw, attr_res, mat_t)
+          xy, xu, xv, xw, attr_res, mat_t, env8)
         return out
 
     # per-tile frustum-culled cluster work lists (front-to-back)
@@ -776,7 +848,7 @@ def gbuffer_pack_pallas(
     kernel = functools.partial(
         _gbuffer_kernel, n_pad=n_pad, nb=nb, m_pad=m_pad, width=width,
         height=height, aa_jitter=aa_jitter, single_sided=single_sided,
-        use_pretest=cluster_lo.shape[0] > 16,
+        use_pretest=cluster_lo.shape[0] > 16, has_env=has_env,
     )
     full = lambda i, j, *_: (0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -791,6 +863,8 @@ def gbuffer_pack_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # attr rows (HBM)
             pl.BlockSpec((MAT_COLS, m_pad), full, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster bounds
+            pl.BlockSpec(env8.shape, lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (GB_CH, 1, 1, 8, 128), lambda i, j, *_: (0, i, j, 0, 0),
@@ -815,7 +889,7 @@ def gbuffer_pack_pallas(
         ),
         interpret=interpret,
     )(counts, dmin, ids, cam_vec, lcam_vec,
-      jnp.asarray([looper], jnp.uint32), xplanes, attr_t, mat_t, clb)
+      jnp.asarray([looper], jnp.uint32), xplanes, attr_t, mat_t, clb, env8)
     return _untile_pack(out, width, height)
 
 
@@ -844,7 +918,8 @@ def make_xy_grid(width: int, height: int):
 
 def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
                        lumaux_ref, tri_lo_ref, light_ref, looper_ref,
-                       out_ref, *, l_pad, k, single_sided):
+                       out_ref, *, l_pad, k, single_sided, n_area,
+                       has_env):
     """Lane-batched RIS candidate stage.
 
     Round-2 profiling (BASELINE.md) showed the K-iteration candidate
@@ -971,6 +1046,31 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     if single_sided:
         pdf = jnp.where(cos_l <= -1e-6, pdf, -1.0)
     pdf = jnp.where((total_w > 0.0) & (q_w > 0.0), pdf, -1.0)
+
+    if has_env:
+        # env-tile candidates (rows >= n_area): uv-uniform point in the
+        # winner tile, direction via to_sphere, exact solid-angle pdf
+        # (mirrors ops/lights.sample_light_cdf has_env branch)
+        env_m = (idx >= n_area).astype(jnp.float32).reshape(kb, 128) > 0.5
+        u_s = fw(0) + r2w * fw(3)  # u0 + r2 * du
+        v_s = fw(1) + r3w * fw(6)  # v0 + r3 * dv
+        phi_e = u_s * (2.0 * _EPI)
+        th_e = v_s * _EPI
+        st_e = jnp.sin(th_e)
+        wiex = jnp.cos(phi_e) * st_e
+        wiey = jnp.cos(th_e)
+        wiez = jnp.sin(phi_e) * st_e
+        pdf_env = q_w / jnp.maximum(
+            fw(3) * fw(6) * (2.0 * _EPI * _EPI)
+            * jnp.maximum(st_e, 1e-6),
+            1e-20,
+        )
+        pdf_env = jnp.where((total_w > 0.0) & (q_w > 0.0), pdf_env, -1.0)
+        pdf = jnp.where(env_m, pdf_env, pdf)
+        wixw = jnp.where(env_m, wiex, wixw)
+        wiyw = jnp.where(env_m, wiey, wiyw)
+        wizw = jnp.where(env_m, wiez, wizw)
+        dist_w = jnp.where(env_m, _ENV_DIST, dist_w)
 
     nx_w, ny_w, nz_w = wide(nx), wide(ny), wide(nz)
     wox_w, woy_w, woz_w = wide(wox), wide(woy), wide(woz)
@@ -1412,6 +1512,10 @@ def _segment_cluster_lists(gb_pack, rs_pack, tile, cluster_lo, cluster_hi):
 
     shade = gb_pack[G_SHADE].reshape(-1) > 0.5
     live = shade & (rs_pack[RS_W].reshape(-1) > 0.0)
+    # occluders only exist inside the scene bounds: clamp the segment
+    # union box to them (also tames env samples' dist = 1e8 endpoints)
+    scn_lo = jnp.min(cluster_lo, axis=0)  # [3]
+    scn_hi = jnp.max(cluster_hi, axis=0)
     los, his = [], []
     for ax in range(3):
         o = gb_pack[G_POS + ax].reshape(-1)
@@ -1425,8 +1529,8 @@ def _segment_cluster_lists(gb_pack, rs_pack, tile, cluster_lo, cluster_hi):
             jnp.max(jnp.where(live, o, small).reshape(n_t, tile), 1),
             jnp.max(jnp.where(live, t_, small).reshape(n_t, tile), 1),
         )
-        los.append(lo)
-        his.append(hi)
+        los.append(jnp.maximum(lo, scn_lo[ax]))
+        his.append(jnp.minimum(hi, scn_hi[ax]))
     seg_lo = jnp.stack(los, -1)  # [T, 3]
     seg_hi = jnp.stack(his, -1)
 
@@ -1447,13 +1551,15 @@ def _segment_cluster_lists(gb_pack, rs_pack, tile, cluster_lo, cluster_hi):
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "single_sided", "nb", "window", "temporal", "temporal_clamp",
-    "interpret"))
+    "has_env", "interpret"))
 def reuse_pallas(
     gb_pack, prev_pack, looper,
     light_verts, light_normal, light_radiance, light_area, light_center,
     light_radius, tri_xform, cluster_lo, cluster_hi,
     k: int = 4, single_sided: bool = True, nb: int = 128,
     window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
+    has_env: bool = False, env_tile_rad=None, env_tile_uv=None,
+    env_tile_sa=None,
     interpret: bool = False,
 ):
     """RIS + winner visibility + temporal merge, as two kernels with an
@@ -1465,10 +1571,14 @@ def reuse_pallas(
     g = gb_pack.shape[1]
     r = g * 128
     nl = light_verts.shape[0]
-    l_pad = _round_up(max(nl, 128), 128)
+    n_env = env_tile_rad.shape[0] if has_env else 0
+    l_pad = _round_up(max(nl + n_env, 128), 128)
     psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table = build_light_tables(
         light_verts, light_normal, light_radiance, light_area, light_center,
         light_radius, l_pad,
+        env_tile_rad=env_tile_rad if has_env else None,
+        env_tile_uv=env_tile_uv if has_env else None,
+        env_tile_sa=env_tile_sa if has_env else None,
     )
 
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
@@ -1485,6 +1595,7 @@ def reuse_pallas(
     # ---- kernel R1: RIS candidate selection
     r1 = functools.partial(
         _ris_select_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
+        n_area=nl, has_env=has_env,
     )
     rs = pl.pallas_call(
         r1,

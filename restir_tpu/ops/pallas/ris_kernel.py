@@ -341,47 +341,110 @@ def _round_up(x, m):
 
 
 def build_light_tables(light_verts, light_normal, light_radiance, light_area,
-                       light_center, light_radius, l_pad: int):
+                       light_center, light_radius, l_pad: int,
+                       env_tile_rad=None, env_tile_uv=None, env_tile_sa=None):
     """Per-frame constant tables for the CDF candidate stage, padded to
-    l_pad rows: (psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table)."""
+    l_pad rows: (psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table).
+
+    When env tables are given, the ENV_TILE rows join as "virtual
+    lights" after the area rows (mirrors ops/lights.sample_light_cdf's
+    has_env branch): their psi rows evaluate the target
+    T = lum*sa * relu-ish(n . d_tile) through the SAME three matmuls —
+    psi_a = (d_tile, 0) so a = n.d; psi_b = (0,0,0,1) so b = 1;
+    psi_c = (0,0,0,1,0) so d2 = 1. Their light_table columns carry
+    (u0,v0,0| du,0,0| dv,0,0| 0,0,0| tile radiance | tile solid angle).
+    """
     nl = light_verts.shape[0]
 
-    def padl(x, fill=0.0):
-        if x.shape[0] == l_pad:
-            return x.astype(jnp.float32)
-        pad = jnp.full((l_pad - x.shape[0],) + x.shape[1:], fill, jnp.float32)
-        return jnp.concatenate([x.astype(jnp.float32), pad])
+    lv9 = light_verts.reshape(nl, 9).astype(jnp.float32)
+    ln = light_normal.astype(jnp.float32)
+    lr = light_radiance.astype(jnp.float32)
+    la = light_area.astype(jnp.float32)
+    lc = light_center.astype(jnp.float32)
+    lrad = light_radius.astype(jnp.float32)
 
-    lv = padl(light_verts.reshape(nl, 9))
-    ln = padl(light_normal)
-    lr = padl(light_radiance)
-    la = padl(light_area)
-    lc = padl(light_center)
-    lrad = padl(light_radius)
-
-    light_table = jnp.concatenate(
+    table = jnp.concatenate(
         [
-            lv[:, 0:3],
-            lv[:, 3:6] - lv[:, 0:3],
-            lv[:, 6:9] - lv[:, 0:3],
+            lv9[:, 0:3],
+            lv9[:, 3:6] - lv9[:, 0:3],
+            lv9[:, 6:9] - lv9[:, 0:3],
             ln,
             lr,
             la[:, None],
         ],
         axis=1,
-    ).T  # [LIGHT_COLS, L_pad]
+    )  # [nl, LIGHT_COLS]
 
-    psi_a = jnp.concatenate([lc, jnp.ones((l_pad, 1))], axis=1)  # [L, 4]
+    psi_a = jnp.concatenate([lc, jnp.ones((nl, 1))], axis=1)  # [nl, 4]
     psi_b = jnp.concatenate(
         [ln, -jnp.sum(ln * lc, axis=-1, keepdims=True)], axis=1
     )
     c2 = jnp.sum(lc * lc, axis=-1, keepdims=True)
     # phi_c rows are (-2px, -2py, -2pz, 1, |x|^2); psi columns must be
     # (cx, cy, cz, |c|^2, 1) so that the product is |x|^2 - 2 x.c + |c|^2
-    psi_c = jnp.concatenate([lc, c2, jnp.ones((l_pad, 1))], axis=1)
+    psi_c = jnp.concatenate([lc, c2, jnp.ones((nl, 1))], axis=1)
     lum = 0.2126 * lr[:, 0] + 0.7152 * lr[:, 1] + 0.0722 * lr[:, 2]
-    # columns: (lum * area, bounding radius) — zero rows for padding
-    lum_aux = jnp.stack([lum * la, lrad], axis=1)  # [L, 2]
+    lum_aux = jnp.stack([lum * la, lrad], axis=1)  # [nl, 2]
+
+    if env_tile_rad is not None:
+        et = env_tile_rad.shape[0]
+        euv = env_tile_uv.astype(jnp.float32)
+        erad = env_tile_rad.astype(jnp.float32)
+        esa = env_tile_sa.astype(jnp.float32)
+        # tile-center directions (to_sphere, mathUtil.h:134)
+        uc = (euv[:, 0] + 0.5 * euv[:, 2]) * (2.0 * _PI)
+        vc = (euv[:, 1] + 0.5 * euv[:, 3]) * _PI
+        st = jnp.sin(vc)
+        d_t = jnp.stack(
+            [jnp.cos(uc) * st, jnp.cos(vc), jnp.sin(uc) * st], axis=-1
+        )
+        psi_a = jnp.concatenate(
+            [psi_a, jnp.concatenate([d_t, jnp.zeros((et, 1))], axis=1)]
+        )
+        psi_b = jnp.concatenate(
+            [psi_b,
+             jnp.concatenate([jnp.zeros((et, 3)), jnp.ones((et, 1))], axis=1)]
+        )
+        psi_c_env = jnp.concatenate(
+            [jnp.zeros((et, 3)), jnp.ones((et, 1)), jnp.zeros((et, 1))],
+            axis=1,
+        )
+        psi_c = jnp.concatenate([psi_c, psi_c_env])
+        ang = 0.5 * jnp.sqrt(
+            (_PI * euv[:, 3]) ** 2 + (2.0 * _PI * euv[:, 2]) ** 2
+        )
+        elum = 0.2126 * erad[:, 0] + 0.7152 * erad[:, 1] + 0.0722 * erad[:, 2]
+        lum_aux = jnp.concatenate(
+            [lum_aux, jnp.stack([elum * esa, ang], axis=1)]
+        )
+        zero3 = jnp.zeros((et, 3))
+        etab = jnp.concatenate(
+            [
+                jnp.stack([euv[:, 0], euv[:, 1], jnp.zeros(et)], axis=1),
+                jnp.stack([euv[:, 2], jnp.zeros(et), jnp.zeros(et)], axis=1),
+                jnp.stack([euv[:, 3], jnp.zeros(et), jnp.zeros(et)], axis=1),
+                zero3,
+                erad,
+                esa[:, None],
+            ],
+            axis=1,
+        )
+        table = jnp.concatenate([table, etab])
+
+    rows = table.shape[0]
+
+    def padl(x):
+        if x.shape[0] == l_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((l_pad - x.shape[0],) + x.shape[1:], jnp.float32)]
+        )
+
+    light_table = padl(table).T  # [LIGHT_COLS, l_pad]
+    psi_a = padl(psi_a)
+    psi_b = padl(psi_b)
+    psi_c = padl(psi_c)
+    lum_aux = padl(lum_aux)
     tri_lo = jnp.tril(jnp.ones((l_pad, l_pad), jnp.float32))
     return psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table
 

@@ -152,6 +152,77 @@ def cornell_box(
     return scene, camera_kwargs
 
 
+def env_scene(
+    n_blocks: int = 4,
+    n_lights: int = 2,
+    env_size=(64, 128),
+    seed: int = 3,
+    bvh_impl: str = "auto",
+):
+    """Open scene under a smooth gradient sky: floor + scattered blocks
+    + a few area lights + an equirect env map. Exercises env-map
+    candidate sampling and miss-pixel backgrounds on both pipelines."""
+    rng = np.random.default_rng(seed)
+    E = 8.0
+    materials = [
+        MaterialDesc(type=LAMBERTIAN, base_color=(0.6, 0.6, 0.6)),  # floor
+    ]
+    instances = []
+
+    def add_quad(p0, p1, p2, p3, mid):
+        v, n, t = quad_mesh(p0, p1, p2, p3)
+        instances.append(MeshInstance(vertices=v, normals=n, uvs=t, material_id=mid))
+
+    add_quad([-E, 0, E], [E, 0, E], [E, 0, -E], [-E, 0, -E], 0)
+
+    for i in range(n_lights):
+        color = tuple((rng.uniform(0.3, 1.0, 3) * rng.uniform(6.0, 15.0)).tolist())
+        materials.append(MaterialDesc(type=LIGHT, base_color=color))
+        mid = len(materials) - 1
+        cx = float(rng.uniform(-E * 0.5, E * 0.5))
+        cz = float(rng.uniform(-E * 0.5, E * 0.5))
+        s, y = 0.4, 3.0 + i
+        add_quad([cx - s, y, cz - s], [cx + s, y, cz - s],
+                 [cx + s, y, cz + s], [cx - s, y, cz + s], mid)
+
+    cube_v, cube_n, cube_t = cube_mesh(0.5)
+    for _ in range(n_blocks):
+        materials.append(
+            MaterialDesc(type=LAMBERTIAN, base_color=tuple(rng.uniform(0.2, 0.9, 3)))
+        )
+        mid = len(materials) - 1
+        sx, sy, sz = rng.uniform(0.6, 1.8, 3)
+        instances.append(
+            MeshInstance(
+                vertices=cube_v, normals=cube_n, uvs=cube_t, material_id=mid,
+                translation=(float(rng.uniform(-E * 0.6, E * 0.6)), sy / 2,
+                             float(rng.uniform(-E * 0.6, E * 0.6))),
+                rotation=(0.0, float(rng.uniform(0, 360)), 0.0),
+                scale=(float(sx), float(sy), float(sz)),
+            )
+        )
+
+    # smooth gradient sky: bright warm band near the horizon, cool zenith
+    eh, ew = env_size
+    v = (np.arange(eh, dtype=np.float32) + 0.5) / eh
+    u = (np.arange(ew, dtype=np.float32) + 0.5) / ew
+    band = np.exp(-((v - 0.45) ** 2) / 0.02)[:, None]
+    azim = 0.6 + 0.4 * np.sin(u * 2.0 * np.pi)[None, :]
+    env = np.zeros((eh, ew, 3), np.float32)
+    env[..., 0] = 1.2 * band * azim + 0.08
+    env[..., 1] = 0.9 * band * azim + 0.12
+    env[..., 2] = 0.5 * band * azim + 0.25
+
+    scene = build_scene(instances, materials, bvh_impl=bvh_impl, env_map=env)
+    camera_kwargs = dict(
+        position=(0.0, 2.0, 9.0),
+        rotation=(-90.0, -5.0, 0.0),
+        fov_y=35.0,
+        focal_dist=1.0,
+    )
+    return scene, camera_kwargs
+
+
 def many_light_scene(
     n_lights: int = 64,
     n_blocks: int = 24,

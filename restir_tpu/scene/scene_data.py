@@ -122,6 +122,14 @@ class SceneData(NamedTuple):
     env_map: jnp.ndarray  # [Eh, Ew, 3]
     env_prob: jnp.ndarray  # [Eh*Ew]
     env_alias: jnp.ndarray  # [Eh*Ew] int32
+    # env tile grid for the fused CDF candidate stage (ENV_TILE_H x
+    # ENV_TILE_W solid-angle-weighted downsample; [1,...] dummies when
+    # absent): each tile is a "virtual light" row in the per-pixel
+    # product CDF — the TPU-native answer to the reference's per-texel
+    # alias table (scene.h:358-392)
+    env_tile_rad: jnp.ndarray  # [ET, 3] sa-weighted mean radiance
+    env_tile_uv: jnp.ndarray  # [ET, 4] (u0, v0, du, dv)
+    env_tile_sa: jnp.ndarray  # [ET] tile solid angle
     # packed textures ([1,3] dummy when absent)
     tex_data: jnp.ndarray  # [K, 3]
     tex_offset: jnp.ndarray  # [T] int32
@@ -233,6 +241,46 @@ def build_transformation_matrix(translation, rotation_deg, scale) -> np.ndarray:
     return t @ rot(0, rotation_deg[0]) @ rot(1, rotation_deg[1]) @ rot(2, rotation_deg[2]) @ s
 
 
+# env tile grid resolution for the fused candidate stage (512 rows join
+# the per-pixel light CDF; [L+ET, B] matrices stay VMEM-sized)
+ENV_TILE_H = 16
+ENV_TILE_W = 32
+
+
+def _build_env_tiles(env: np.ndarray):
+    """Solid-angle-weighted ENV_TILE_H x ENV_TILE_W downsample of the
+    equirect env map. Each tile t gets (mean radiance, uv rect, solid
+    angle); the fused path renders this piecewise-constant env (the
+    selection pdf is exact for it, so the estimator is unbiased for the
+    downsampled env — a documented fused-path approximation)."""
+    eh, ew = env.shape[0], env.shape[1]
+    th, tw = ENV_TILE_H, ENV_TILE_W
+    row = (np.arange(eh, dtype=np.float64) + 0.5) / eh
+    sin_theta = np.sin(row * np.pi)  # [Eh]
+    ty = np.minimum((np.arange(eh) * th) // eh, th - 1).astype(np.int64)
+    tx = np.minimum((np.arange(ew) * tw) // ew, tw - 1).astype(np.int64)
+    tidx = (ty[:, None] * tw + tx[None, :]).reshape(-1)  # [Eh*Ew]
+    w = np.broadcast_to(sin_theta[:, None], (eh, ew)).reshape(-1)
+    wsum = np.zeros(th * tw)
+    np.add.at(wsum, tidx, w)
+    rad = np.zeros((th * tw, 3))
+    for c in range(3):
+        np.add.at(rad[:, c], tidx, w * env[..., c].reshape(-1))
+    rad /= np.maximum(wsum, 1e-20)[:, None]
+
+    i = np.arange(th * tw)
+    v0 = (i // tw).astype(np.float64) / th
+    u0 = (i % tw).astype(np.float64) / tw
+    du = np.full(th * tw, 1.0 / tw)
+    dv = np.full(th * tw, 1.0 / th)
+    sa = (2.0 * np.pi / tw) * (
+        np.cos(np.pi * v0) - np.cos(np.pi * (v0 + dv))
+    )
+    uv = np.stack([u0, v0, du, dv], axis=-1)
+    return (rad.astype(np.float32), uv.astype(np.float32),
+            sa.astype(np.float32))
+
+
 def _luminance_np(c):
     return c[..., 0] * 0.2126 + c[..., 1] * 0.7152 + c[..., 2] * 0.0722
 
@@ -325,9 +373,13 @@ def build_scene(
         env_pdf = _luminance_np(env) * sin_theta[:, None]
         env_table = build_alias_table(env_pdf.reshape(-1))
         powers.append(env_table.sum_all)
+        env_tile_rad, env_tile_uv, env_tile_sa = _build_env_tiles(env)
     else:
         env = np.zeros((1, 1, 3), np.float32)
         env_table = build_alias_table(np.ones(1))
+        env_tile_rad = np.zeros((1, 3), np.float32)
+        env_tile_uv = np.zeros((1, 4), np.float32)
+        env_tile_sa = np.zeros((1,), np.float32)
 
     if powers:
         light_table = build_alias_table(np.asarray(powers))
@@ -434,6 +486,9 @@ def build_scene(
         env_map=jnp.asarray(env),
         env_prob=env_table.prob,
         env_alias=env_table.fail_id,
+        env_tile_rad=jnp.asarray(env_tile_rad),
+        env_tile_uv=jnp.asarray(env_tile_uv),
+        env_tile_sa=jnp.asarray(env_tile_sa),
         tex_data=jnp.asarray(tex_data),
         tex_offset=jnp.asarray(tex_offset),
         tex_width=jnp.asarray(tex_width),

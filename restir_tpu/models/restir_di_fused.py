@@ -34,6 +34,7 @@ class FusedDIState(NamedTuple):
     iteration: jnp.ndarray  # int32 scalar
     accum: jnp.ndarray  # [3, R/128, 128] running-mean radiance
     pt_pack: jnp.ndarray  # [PT_CH, R/128, 128] post-temporal reuse pack
+    svgf_pack: jnp.ndarray  # [SV_CH, R/128, 128] (or [1,1,1] w/o SVGF)
     last_camera: Camera
 
 
@@ -48,7 +49,9 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
         and _on_tpu()
         and fk.eligible(cfg, cfg.has_env_map, cfg.with_textures)
         and resolve_ris_mode(cfg) == "cdf"
-        and cfg.denoiser in (DenoiserType.NONE, DenoiserType.EAW)
+        and cfg.denoiser in (
+            DenoiserType.NONE, DenoiserType.EAW, DenoiserType.SVGF
+        )
         # scene geometry is HBM-resident and streamed per cluster, so
         # there is no triangle-count ceiling on this path (the general
         # pipeline's brute/bvh split does not apply)
@@ -60,11 +63,18 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
 def init_state(cfg: RenderConfig, cam: Camera) -> FusedDIState:
     g = cfg.num_pixels // 128
     cam = jax.tree.map(lambda x: jnp.array(x, copy=True), cam)
+    if cfg.denoiser == DenoiserType.SVGF:
+        svgf = jnp.zeros((fk.SV_CH, g, 128))
+        # prim history = NULL so the first frame disoccludes everywhere
+        svgf = svgf.at[fk.SV_PRIM].set(-1.0)
+    else:
+        svgf = jnp.zeros((1, 1, 1))
     return FusedDIState(
         looper=jnp.uint32(0),
         iteration=jnp.int32(0),
         accum=jnp.zeros((3, g, 128)),
         pt_pack=jnp.zeros((fk.PT_CH, g, 128)),
+        svgf_pack=svgf,
         last_camera=cam,
     )
 
@@ -74,6 +84,7 @@ def reset_accumulation(state: FusedDIState) -> FusedDIState:
         iteration=jnp.int32(0),
         accum=jnp.zeros_like(state.accum),
         pt_pack=jnp.zeros_like(state.pt_pack),
+        svgf_pack=jnp.zeros_like(state.svgf_pack),
     )
 
 
@@ -126,14 +137,20 @@ def step_fused(
     )
 
     frame = accum
+    svgf_pack = state.svgf_pack
     if cfg.denoiser == DenoiserType.EAW:
         frame = eaw_filter_packed(accum, gb, cfg)
+    elif cfg.denoiser == DenoiserType.SVGF:
+        frame, svgf_pack = svgf_filter_packed(
+            accum, gb, state.svgf_pack, cfg, interpret=interpret
+        )
 
     next_state = FusedDIState(
         looper=looper + jnp.uint32(1),
         iteration=state.iteration + 1,
         accum=accum,
         pt_pack=pt,
+        svgf_pack=svgf_pack,
         last_camera=cam,
     )
     return next_state, frame
@@ -169,3 +186,65 @@ def eaw_filter_packed(
         color = dn.eaw_filter_level(color, gb_planes, cfg, level)
     out = color * safe
     return out.reshape(3, cfg.num_pixels // 128, 128)
+
+
+def svgf_filter_packed(
+    frame: jnp.ndarray,  # [3, R/128, 128] modulated running-mean
+    gb_pack: jnp.ndarray,  # [GB_CH, R/128, 128]
+    svgf_prev: jnp.ndarray,  # [SV_CH, R/128, 128]
+    cfg: RenderConfig,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SVGF on channel-major planes (denoiser.cu:479-568): the temporal
+    accumulation runs as a Pallas kernel (windowed motion gather, see
+    fused_di.svgf_temporal_pallas); variance estimation and the
+    variance-guided wavelet chain reuse the plane-based core in
+    models/denoiser.py. Returns (filtered frame, next svgf pack) — the
+    color history fed forward is the level-0 wavelet output
+    (denoiser.cu:542-543)."""
+    demod, safe = _svgf_demod(frame, gb_pack, cfg)
+    sv = fk.svgf_temporal_pallas(
+        gb_pack, demod, svgf_prev.reshape(fk.SV_CH, cfg.num_pixels),
+        interpret=interpret,
+    )
+    return _svgf_wavelets(sv, gb_pack, safe, cfg)
+
+
+def _svgf_demod(frame, gb_pack, cfg: RenderConfig):
+    albedo = jnp.maximum(gb_pack[fk.G_ALB:fk.G_ALB + 3], 0.0)
+    if cfg.modulate_albedo:
+        safe = jnp.where(albedo > 1e-4, albedo, 1.0)
+        return frame / safe, safe
+    return frame, jnp.ones_like(albedo)
+
+
+def _svgf_wavelets(sv, gb_pack, safe, cfg: RenderConfig):
+    """Variance estimate + variance-guided wavelet chain on the
+    temporally-accumulated svgf pack (plane-based XLA — under
+    NamedSharding these shifts partition with automatic row halos)."""
+    from . import denoiser as dn
+
+    h, w = cfg.height, cfg.width
+    g = cfg.num_pixels // 128
+
+    moments = sv[fk.SV_M1:fk.SV_M1 + 3].reshape(3, h, w)
+    var = dn.svgf_estimate_variance(moments)
+    color = sv[fk.SV_COL:fk.SV_COL + 3].reshape(3, h, w)
+
+    def plane(i):
+        return gb_pack[i].reshape(h, w)
+
+    def planes3(i):
+        return gb_pack[i:i + 3].reshape(3, h, w)
+
+    gb_planes = (plane(fk.G_PRIMR), planes3(fk.G_NORM), planes3(fk.G_POS))
+    history = color
+    for level in range(cfg.eaw_levels):
+        color, var = dn.svgf_wavelet_level(color, var, gb_planes, cfg, level)
+        if level == 0:
+            history = color
+    next_sv = sv.at[fk.SV_COL:fk.SV_COL + 3].set(
+        history.reshape(3, g, 128)
+    )
+    out = color.reshape(3, g, 128) * safe
+    return out, next_sv

@@ -376,9 +376,9 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
     b = 8 * 128
     x = xy_ref[0, :, :].reshape(b)
     y = xy_ref[1, :, :].reshape(b)
-    pix = tile_id * b + jax.lax.broadcasted_iota(
-        jnp.int32, (b, 1), 0
-    ).reshape(b)
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
     looper = looper_ref[0]
     ox, oy, oz, dx, dy, dz = _raygen(
         cam_ref, looper, x, y, pix, width=width, height=height,
@@ -736,10 +736,15 @@ def gbuffer_pack_pallas(
     width: int, height: int, aa_jitter: bool = True,
     single_sided: bool = True, nb: int = 128,
     has_env: bool = False, env_tile_rad=None,
+    pix0=0, xy=None,
     interpret: bool = False,
 ):
-    """Returns the gbuffer pack [GB_CH, R/128, 128]. The grid is 2-D
-    (8x128-pixel tiles) for tight per-tile cluster frusta."""
+    """Returns the gbuffer pack [GB_CH, R/128, 128]. The resident path
+    runs 1-D linear-pixel tiles; the streaming path uses 2-D 8x128-pixel
+    tiles for tight per-tile cluster frusta. Under shard_map row-band
+    parallelism, pass the band's raster grid as `xy` ([2, g_local, 128])
+    plus its global first-pixel index `pix0` — the kernel then renders
+    just that band (resident geometry only)."""
     r = width * height
     if has_env:
         et = env_tile_rad.shape[0]
@@ -794,10 +799,12 @@ def gbuffer_pack_pallas(
             single_sided=single_sided, has_env=has_env,
         )
         full1 = lambda i: (0, 0)  # noqa: E731
-        xy = make_xy_grid(width, height)
+        if xy is None:
+            xy = make_xy_grid(width, height)
+        r_loc = xy.shape[1] * 128  # == r unless sharded to a row band
         out = pl.pallas_call(
             kernel,
-            grid=(r // _TILE,),
+            grid=(r_loc // _TILE,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -816,16 +823,21 @@ def gbuffer_pack_pallas(
                 (GB_CH, _TILE // 128, 128), lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((GB_CH, r // 128, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (GB_CH, r_loc // 128, 128), jnp.float32
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(cam_vec, lcam_vec, jnp.asarray([looper], jnp.uint32),
+        )(cam_vec, lcam_vec,
+          jnp.asarray(jnp.stack([jnp.asarray(looper, jnp.uint32),
+                                  jnp.asarray(pix0, jnp.uint32)])),
           xy, xu, xv, xw, attr_res, mat_t, env8)
         return out
 
     # per-tile frustum-culled cluster work lists (front-to-back)
+    assert xy is None, "sharded row bands need the resident path"
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
     counts, ids, dmin = _primary_cluster_lists(
         cam_vec, width, height, 1024, cluster_lo, cluster_hi
@@ -889,8 +901,15 @@ def gbuffer_pack_pallas(
         ),
         interpret=interpret,
     )(counts, dmin, ids, cam_vec, lcam_vec,
-      jnp.asarray([looper], jnp.uint32), xplanes, attr_t, mat_t, clb, env8)
+      _lp2(looper, pix0), xplanes, attr_t, mat_t, clb, env8)
     return _untile_pack(out, width, height)
+
+
+def _lp2(looper, pix0):
+    """[looper, pix0] SMEM vector (pix0 = global index of this shard's
+    first pixel — nonzero only under shard_map row-band parallelism)."""
+    return jnp.stack([jnp.asarray(looper, jnp.uint32),
+                      jnp.asarray(pix0, jnp.uint32)])
 
 
 def _untile_pack(out, width: int, height: int):
@@ -944,7 +963,9 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
         return gb_ref[i, :, :].reshape(b)
 
     tile_id = pl.program_id(0)
-    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
     looper = looper_ref[0]
 
     px, py, pz = ch(G_POS), ch(G_POS + 1), ch(G_POS + 2)
@@ -1144,7 +1165,9 @@ def _vis_temporal_kernel(vcounts_ref, w0_ref, vids_hbm_ref, gb_ref, rs_ref,
         return gb_ref[i, :, :].reshape(b)
 
     tile_id = pl.program_id(0)
-    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
     looper = looper_ref[0]
 
     # start the work-list + temporal-window DMAs so they overlap setup
@@ -1318,7 +1341,9 @@ def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xu_ref, xv_ref, xw_ref,
         return gb_ref[i, :, :].reshape(b)
 
     tile_id = pl.program_id(0)
-    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
     looper = looper_ref[0]
 
     if temporal:
@@ -1560,6 +1585,7 @@ def reuse_pallas(
     window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
     has_env: bool = False, env_tile_rad=None, env_tile_uv=None,
     env_tile_sa=None,
+    pix0=0, prev_base=0,
     interpret: bool = False,
 ):
     """RIS + winner visibility + temporal merge, as two kernels with an
@@ -1570,6 +1596,14 @@ def reuse_pallas(
     [PT_CH, R/128, 128]."""
     g = gb_pack.shape[1]
     r = g * 128
+    # under shard_map row-band parallelism, prev_pack is the local band
+    # extended by halos and prev_base is the global pixel index of its
+    # first column: rebase motion so all window math is pack-local
+    r_prev = prev_pack.shape[1]
+    mo = gb_pack[G_MOTION]
+    gb_pack = gb_pack.at[G_MOTION].set(
+        jnp.where(mo >= 0.0, mo - jnp.float32(prev_base), mo)
+    )
     nl = light_verts.shape[0]
     n_env = env_tile_rad.shape[0] if has_env else 0
     l_pad = _round_up(max(nl + n_env, 128), 128)
@@ -1619,7 +1653,7 @@ def reuse_pallas(
         out_shape=jax.ShapeDtypeStruct((RS_CH, g, 128), jnp.float32),
         interpret=interpret,
     )(gb_pack, psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table,
-      jnp.asarray([looper], jnp.uint32))
+      _lp2(looper, pix0))
 
     # ---- XLA: temporal window starts (+ shadow-segment cluster lists
     # on the streaming path)
@@ -1638,11 +1672,11 @@ def reuse_pallas(
     # window start min for any tile seeing background, silently losing
     # temporal reuse for shaded pixels whose index exceeds the window
     miss = gb_pack[G_MISS].reshape(n_tiles, _TILE) > 0.5
-    m_valid = jnp.where((motion >= 0) & ~miss, motion, r)
+    m_valid = jnp.where((motion >= 0) & ~miss, motion, r_prev)
     w0 = jnp.min(m_valid, axis=1)
     # HBM DMA starts must be 128-aligned on the lane dim (Mosaic tiling)
     w0 = (w0 // 128) * 128
-    w0 = jnp.clip(w0, 0, max(r - window, 0))
+    w0 = jnp.clip(w0, 0, max(r_prev - window, 0))
 
     if resident:
         # ---- kernel R2 (resident): VMEM geometry, no work lists
@@ -1684,8 +1718,7 @@ def reuse_pallas(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(w0, gb_pack, rs, xu_r, xv_r, xw_r, prev_pack,
-          jnp.asarray([looper], jnp.uint32))
+        )(w0, gb_pack, rs, xu_r, xv_r, xw_r, prev_pack, _lp2(looper, pix0))
 
     # ---- kernel R2: winner visibility (culled) + temporal merge
     r2 = functools.partial(
@@ -1727,7 +1760,149 @@ def reuse_pallas(
         ),
         interpret=interpret,
     )(vcounts, w0, vids, gb_pack, rs, xplanes, prev_pack,
-      jnp.asarray([looper], jnp.uint32), clb)
+      _lp2(looper, pix0), clb)
+
+
+# ---------------------------------------------------------------------------
+# kernel T: SVGF temporal accumulation (fused-path denoiser.cu:250-305)
+
+# svgf pack channel layout ([SV_CH, R]): the state carried between
+# frames for the fused SVGF path
+SV_COL = 0  # 3: color history (level-0 wavelet output)
+SV_M1 = 3  # E[lum]
+SV_M2 = 4  # E[lum^2]
+SV_HIST = 5  # history length
+SV_PRIM = 6  # similarity attrs of the frame that wrote the pack
+SV_NORM = 7  # 3
+SV_CH = 16  # padded (10 used)
+
+SVGF_ALPHA = 0.2  # denoiser.cu:256
+
+
+def _svgf_temporal_kernel(w0_ref, gb_ref, col_ref, prev_ref, out_ref,
+                          win_ref, sem, *, window):
+    """Motion-gathered alpha-blend of color + (lum, lum^2) moments with
+    disocclusion reset — temporalAccumulate (denoiser.cu:250-305), via
+    the same windowed one-hot motion gather as the reuse kernel."""
+    cg = gb_ref.shape[1]
+    b = cg * 128
+    tile_id = pl.program_id(0)
+
+    w0 = pl.multiple_of(w0_ref[tile_id], 128)
+    dma = pltpu.make_async_copy(
+        prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
+    )
+    dma.start()
+
+    def ch(i):
+        return gb_ref[i, :, :].reshape(b)
+
+    def cch(i):
+        return col_ref[i, :, :].reshape(b)
+
+    cx, cy, cz = cch(0), cch(1), cch(2)
+    lum = 0.2126 * cx + 0.7152 * cy + 0.0722 * cz
+
+    motion = ch(G_MOTION).astype(jnp.int32)
+    rel = motion - w0
+    in_win = (motion >= 0) & (rel >= 0) & (rel < window)
+    rel = jnp.where(in_win, rel, 0)
+
+    dma.wait()
+    win_rows = jax.lax.broadcasted_iota(jnp.int32, (window, b), 0)
+    onehot = (win_rows == rel[None, :]).astype(jnp.float32)
+    gathered = dot_exact_b(win_ref[:, :], onehot)  # [SV_CH, B]
+
+    l_cx, l_cy, l_cz = gathered[SV_COL], gathered[SV_COL + 1], gathered[SV_COL + 2]
+    l_m1, l_m2 = gathered[SV_M1], gathered[SV_M2]
+    l_hist = gathered[SV_HIST]
+    l_prim = gathered[SV_PRIM]
+    l_nx, l_ny, l_nz = gathered[SV_NORM], gathered[SV_NORM + 1], gathered[SV_NORM + 2]
+
+    prim_remap = ch(G_PRIMR)
+    g_nx, g_ny, g_nz = ch(G_NORM), ch(G_NORM + 1), ch(G_NORM + 2)
+    diff = ~in_win
+    diff |= prim_remap <= _NULL
+    diff |= l_prim != prim_remap
+    diff |= jnp.abs(_dot3(g_nx, g_ny, g_nz, l_nx, l_ny, l_nz)) < 0.1
+
+    a = SVGF_ALPHA
+    bx = l_cx + (cx - l_cx) * a
+    by = l_cy + (cy - l_cy) * a
+    bz = l_cz + (cz - l_cz) * a
+    bm1 = l_m1 + (lum - l_m1) * a
+    bm2 = l_m2 + (lum * lum - l_m2) * a
+    hist = l_hist + 1.0
+
+    def put(i, val):
+        out_ref[i, :, :] = val.reshape(cg, 128)
+
+    put(SV_COL, jnp.where(diff, cx, bx))
+    put(SV_COL + 1, jnp.where(diff, cy, by))
+    put(SV_COL + 2, jnp.where(diff, cz, bz))
+    put(SV_M1, jnp.where(diff, lum, bm1))
+    put(SV_M2, jnp.where(diff, lum * lum, bm2))
+    put(SV_HIST, jnp.where(diff, 0.0, hist))
+    put(SV_PRIM, prim_remap)
+    put(SV_NORM, g_nx)
+    put(SV_NORM + 1, g_ny)
+    put(SV_NORM + 2, g_nz)
+    for i in range(SV_NORM + 3, SV_CH):
+        put(i, jnp.zeros_like(cx))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def svgf_temporal_pallas(gb_pack, color, prev_svgf, window: int = 2048,
+                         prev_base=0,
+                         interpret: bool = False):
+    """Fused SVGF temporal accumulation. color: [3, R/128, 128]
+    (demodulated); prev_svgf: [SV_CH, R] flat. Returns the accumulated
+    svgf pack [SV_CH, R/128, 128]."""
+    g = gb_pack.shape[1]
+    r = g * 128
+    n_tiles = r // _TILE
+    tg = _TILE // 128
+    r_prev = prev_svgf.shape[1]
+
+    motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
+    motion = jnp.where(motion >= 0, motion - prev_base, motion)
+    gb_pack = gb_pack.at[G_MOTION].set(
+        motion.astype(jnp.float32).reshape(g, 128))
+    miss = gb_pack[G_MISS].reshape(n_tiles, _TILE) > 0.5
+    m_valid = jnp.where((motion >= 0) & ~miss, motion, r_prev)
+    w0 = jnp.min(m_valid, axis=1)
+    w0 = (w0 // 128) * 128
+    w0 = jnp.clip(w0, 0, max(r_prev - window, 0))
+
+    kernel = functools.partial(_svgf_temporal_kernel, window=window)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((GB_CH, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # prev svgf pack (HBM)
+        ],
+        out_specs=pl.BlockSpec(
+            (SV_CH, tg, 128), lambda i, *_: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SV_CH, window), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SV_CH, g, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w0, gb_pack, color, prev_svgf)
 
 
 # ---------------------------------------------------------------------------
@@ -1740,7 +1915,9 @@ def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
     cg = gb_ref.shape[1]
     b = cg * 128
     tile_id = pl.program_id(0)
-    pix = tile_id * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    pix = sc_ref[2].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
     looper = sc_ref[0]
     iteration = sc_ref[1]
 
@@ -1973,6 +2150,7 @@ def spatial_shade_pallas(
     gb_pack, pt_pack, pt_flat, accum, looper, iteration,
     width: int, height: int, neighbors: int = 5, radius: float = 5.0,
     accumulate: bool = True, reuse_spatial: bool = True,
+    pix0=0, halo: int = 0, r_total=None,
     interpret: bool = False,
 ):
     """Spatial merges + shading + running-mean accumulation.
@@ -1988,7 +2166,13 @@ def spatial_shade_pallas(
 
     # per-(tile, neighbor, frame) disk offsets (see module docstring):
     # (dma start, dx, dy, valid) precomputed in XLA, SMEM-blocked per tile
-    tiles = jnp.arange(n_tiles, dtype=jnp.uint32)
+    # global tile ids seed the per-(tile, neighbor, frame) offsets so
+    # sharded row bands draw the same offsets as a single-chip frame
+    tiles = (jnp.asarray(pix0, jnp.uint32) // _TILE
+             + jnp.arange(n_tiles, dtype=jnp.uint32))
+    r_ext = pt_flat.shape[1]  # local band + 2*halo under shard_map
+    if r_total is None:
+        r_total = r_ext
     cols = []
     for i in range(neighbors):
         s1, s2, _, _ = rngmod.uniform4(
@@ -1999,14 +2183,20 @@ def spatial_shade_pallas(
         dx = (0.5 + rr * jnp.cos(theta)).astype(jnp.int32)
         dy = (0.5 + rr * jnp.sin(theta)).astype(jnp.int32)
         off = dy * width + dx
-        start0 = tiles.astype(jnp.int32) * _TILE + off
-        start_a = (start0 // 128) * 128  # 128-aligned DMA start
-        delta = start0 - start_a  # lane residue, undone in-kernel
+        # validity uses GLOBAL frame indices (identical to a
+        # single-chip frame); the DMA start uses band-local + halo
+        start_g = (jnp.asarray(pix0, jnp.int32)
+                   + jnp.arange(n_tiles, dtype=jnp.int32) * _TILE + off)
+        start_ga = (start_g // 128) * 128
         valid = (
-            (start_a >= 0) & (start_a <= r - _TILE - 128)
+            (start_ga >= 0) & (start_ga <= r_total - _TILE - 128)
             & ~((dx == 0) & (dy == 0))
         )
-        start_a = jnp.clip(start_a, 0, r - _TILE - 128)
+        start0 = (jnp.arange(n_tiles, dtype=jnp.int32) * _TILE + off
+                  + halo)
+        start_a = (start0 // 128) * 128  # 128-aligned DMA start
+        delta = start0 - start_a  # lane residue, undone in-kernel
+        start_a = jnp.clip(start_a, 0, r_ext - _TILE - 128)
         cols.append(
             jnp.stack([start_a, dx, dy, delta, valid.astype(jnp.int32)], -1)
         )
@@ -2018,7 +2208,8 @@ def spatial_shade_pallas(
     )
     tg = _TILE // 128
     sc = jnp.stack([jnp.asarray(looper, jnp.uint32),
-                    jnp.asarray(iteration, jnp.uint32)])
+                    jnp.asarray(iteration, jnp.uint32),
+                    jnp.asarray(pix0, jnp.uint32)])
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -218,3 +218,85 @@ def test_fused_step_determinism(scene_cam):
 
     a, b = run(), run()
     assert np.array_equal(a, b)
+
+
+def test_svgf_temporal_kernel_matches_general(scene_cam):
+    """svgf_temporal_pallas vs models/denoiser.svgf_temporal_accumulate
+    on matched inputs (static camera: motion is identity and in-window),
+    lane-for-lane."""
+    from restir_tpu.models import denoiser as dn
+
+    scene, cam = scene_cam
+    cfg = _cfg(aa_jitter=False, denoiser=2)
+    looper = jnp.uint32(2)
+
+    gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+    pack = _gb_pack(scene, cam, cfg, looper)
+
+    rng = np.random.default_rng(0)
+    color = rng.uniform(0.0, 2.0, (R, 3)).astype(np.float32)
+    prev_color = rng.uniform(0.0, 2.0, (R, 3)).astype(np.float32)
+    prev_m = rng.uniform(0.0, 2.0, (R, 3)).astype(np.float32)
+
+    state = dn.SVGFState(accum_color=jnp.asarray(prev_color),
+                         accum_moment=jnp.asarray(prev_m))
+    ref = dn.svgf_temporal_accumulate(jnp.asarray(color), gb, gb, state)
+
+    prev_pack = np.zeros((fk.SV_CH, R), np.float32)
+    prev_pack[fk.SV_COL:fk.SV_COL + 3] = prev_color.T
+    prev_pack[fk.SV_M1] = prev_m[:, 0]
+    prev_pack[fk.SV_M2] = prev_m[:, 1]
+    prev_pack[fk.SV_HIST] = prev_m[:, 2]
+    prev_pack[fk.SV_PRIM] = np.asarray(gb.prim_id)
+    prev_pack[fk.SV_NORM:fk.SV_NORM + 3] = np.asarray(gb.norm).T
+
+    col_pack = jnp.asarray(color.T.reshape(3, R // 128, 128))
+    sv = fk.svgf_temporal_pallas(pack, col_pack, jnp.asarray(prev_pack),
+                                 interpret=True)
+
+    # compare on lanes where the packs agree on the primary hit
+    prim_ref = np.asarray(gb.prim_id)
+    prim_got = _ch(pack, fk.G_PRIMR).astype(np.int32)
+    ok = prim_ref == prim_got
+    got_col = _ch3(sv, fk.SV_COL)
+    np.testing.assert_allclose(
+        np.asarray(ref.accum_color)[ok], got_col[ok], rtol=1e-5, atol=1e-6
+    )
+    got_m = np.stack(
+        [_ch(sv, fk.SV_M1), _ch(sv, fk.SV_M2), _ch(sv, fk.SV_HIST)], -1
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.accum_moment)[ok], got_m[ok], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_svgf_step_statistical(scene_cam, monkeypatch):
+    """Full fused frames with SVGF: finite, and mean energy tracks the
+    general SVGF pipeline."""
+    scene, cam = scene_cam
+    cfg = _cfg(denoiser=2)
+    frames = 8
+
+    from restir_tpu.ops import intersect as ix
+    monkeypatch.setattr(ix, "_on_tpu", lambda: False)
+
+    state = renderer.init_state(cfg, cam)
+    f_general = None
+    for _ in range(frames):
+        state, f_general = renderer._step_jit_plain(scene, state, cam, cfg)
+    img_general = np.asarray(f_general)
+
+    fstate = restir_di_fused.init_state(cfg, cam)
+    assert fstate.svgf_pack.shape[0] == fk.SV_CH
+    f_fused = None
+    for _ in range(frames):
+        fstate, f_fused = restir_di_fused.step_fused(
+            scene, fstate, cam, cfg, interpret=True
+        )
+    img_fused = np.asarray(f_fused).reshape(3, -1).T
+
+    assert np.isfinite(img_fused).all()
+    ref = img_general.mean()
+    assert abs(img_fused.mean() - ref) / max(ref, 1e-9) < 0.05, (
+        img_fused.mean(), ref
+    )

@@ -38,10 +38,7 @@ from ..models.restir_di_fused import FusedDIState
 from ..ops.pallas import fused_di as fk
 from .sharding import PIXEL_AXIS
 
-try:
-    from jax import shard_map  # jax >= 0.8
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax >= 0.8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -147,7 +144,7 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
             in_specs=(pack, pack, pack if use_svgf else rep, pack,
                       rep, rep, rep, rep, scene_specs),
             out_specs=(pack, pack, pack, pack if use_svgf else rep),
-            check_rep=False,
+            check_vma=False,
         )(xy, state.pt_pack, state.svgf_pack, state.accum,
           state.looper, state.iteration, cam_vec, lcam_vec, scene)
 

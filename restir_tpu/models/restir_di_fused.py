@@ -44,6 +44,19 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     from ..ops.intersect import _on_tpu
     from ..models.restir_di import resolve_ris_mode
 
+    import numpy as np
+
+    if cfg.with_textures:
+        # base-color textures run in-kernel (mip-clamped atlas);
+        # metallic/roughness/normal MAPS still need the general path
+        has_aux_maps = (
+            int(np.max(np.asarray(scene.mat_metallic_map))) >= 0
+            or int(np.max(np.asarray(scene.mat_roughness_map))) >= 0
+            or int(np.max(np.asarray(scene.mat_normal_map))) >= 0
+        )
+        if has_aux_maps:
+            return False
+
     return (
         cfg.tracer == TracerType.RESTIR_DI
         and _on_tpu()
@@ -111,6 +124,8 @@ def step_fused(
         width=cfg.width, height=cfg.height,
         aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
         has_env=has_env, env_tile_rad=scene.env_tile_rad,
+        with_textures=cfg.with_textures, fused_atlas=scene.fused_atlas,
+        fused_tex_meta=scene.fused_tex_meta,
         interpret=interpret,
     )
 

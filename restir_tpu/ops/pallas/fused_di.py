@@ -142,6 +142,84 @@ def _pseudo_angle_const(phi: float) -> float:
     return p
 
 
+def _tex_bilinear(atlas_ref, meta, u_uv, v_uv):
+    """Wrap-mode bilinear fetch from the fused mip-clamped atlas
+    (image.h:41-74 semantics, mirrors ops/texture.bilinear_sample).
+
+    atlas_ref: [384, rows_pad] with [c*128 + x, row] = texel (row,x,c);
+    meta: (row0, w, h) as 1-D [B] f32 vectors. Each y-tap is one
+    [384, rows] one-hot matmul (row fetch); each x-tap a 128-sublane
+    lane select — no gathers, which Mosaic does not have.
+    """
+    b = u_uv.shape[0]
+    rows = atlas_ref.shape[1]
+    row0, tw, th = meta
+
+    u = u_uv - jnp.floor(u_uv)
+    v = v_uv - jnp.floor(v_uv)
+    fx = u * tw - 0.5
+    fy = v * th - 0.5
+    ix = jnp.floor(fx)
+    iy = jnp.floor(fy)
+    lx = fx - ix
+    ly = fy - iy
+
+    def wrap(a, m):
+        w_ = a - jnp.floor(a / m) * m
+        return jnp.where(w_ >= m, 0.0, w_)  # guard f32 edge
+
+    x0 = wrap(ix, tw)
+    y0 = wrap(iy, th)
+    x1 = wrap(x0 + 1.0, tw)
+    y1 = wrap(y0 + 1.0, th)
+
+    atlas_split = _hi_mid_lo(atlas_ref[:, :])
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0)
+
+    def row_fetch(y):
+        oh = (rrow == (row0 + y).astype(jnp.int32)[None, :]).astype(
+            jnp.float32
+        )
+        return dot_exact_b(None, oh, a_split=atlas_split)  # [384, B]
+
+    f0 = row_fetch(y0)
+    f1 = row_fetch(y1)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (128, b), 0)
+    oh_x0 = (lrow == x0.astype(jnp.int32)[None, :]).astype(jnp.float32)
+    oh_x1 = (lrow == x1.astype(jnp.int32)[None, :]).astype(jnp.float32)
+
+    out = []
+    for c in range(3):
+        blk0 = f0[c * 128:(c + 1) * 128, :]
+        blk1 = f1[c * 128:(c + 1) * 128, :]
+        c00 = jnp.sum(blk0 * oh_x0, axis=0)
+        c10 = jnp.sum(blk0 * oh_x1, axis=0)
+        c01 = jnp.sum(blk1 * oh_x0, axis=0)
+        c11 = jnp.sum(blk1 * oh_x1, axis=0)
+        cx0 = c00 + (c10 - c00) * lx
+        cx1 = c01 + (c11 - c01) * lx
+        out.append(cx0 + (cx1 - cx0) * ly)
+    return out
+
+
+def _procedural_tex(u_uv, v_uv):
+    """Sine-grid procedural texture — mirrors ops/texture.
+    procedural_texture (scene.h:68-76) with the same SALT_DEBUG
+    pcg4d jitter stream."""
+    cell = ((u_uv * 1024.0).astype(jnp.int32) * 1024
+            + (v_uv * 1024.0).astype(jnp.int32))
+    b = u_uv.shape[0]
+    u1, u2, _, _ = _pcg4d(
+        cell, jnp.zeros((b,), jnp.uint32), jnp.zeros((b,), jnp.uint32),
+        jnp.full((b,), 0x7F, jnp.uint32),
+    )
+    rx, ry = _unit(u1), _unit(u2)
+    two_pi = 2.0 * _EPI
+    f = (jnp.sin(u_uv * 10.0 * two_pi + rx * two_pi) + 1.0) * 0.5
+    g = (jnp.sin(v_uv * 10.0 * two_pi + ry * two_pi) + 1.0) * 0.5
+    return f * g
+
+
 def _env_tile_radiance(env_rad_ref, dx, dy, dz):
     """Piecewise-constant env radiance along (dx,dy,dz), 1-D per lane.
 
@@ -171,11 +249,11 @@ def _env_tile_radiance(env_rad_ref, dx, dy, dz):
 
 
 def eligible(cfg, scene_has_env: bool, with_textures: bool) -> bool:
-    # env maps are handled natively (env-tile CDF rows + in-kernel
-    # background eval); textures still fall back to the general pipeline
+    # env maps and base-color textures are handled natively (env-tile
+    # CDF rows, in-kernel mip-clamped atlas fetch); metallic/roughness/
+    # normal MAPS still fall back (checked in restir_di_fused.eligible)
     return (
-        not with_textures
-        and not cfg.enable_dof
+        not cfg.enable_dof
         and cfg.width % 128 == 0
         and cfg.height % 8 == 0
     )
@@ -234,7 +312,7 @@ def _raygen(cam_ref, looper, x, y, pix, *, width, height, aa_jitter):
 def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
                       best_u, best_v, at, x, y, ox, oy, oz, dx, dy, dz,
                       *, m_pad, width, height, single_sided,
-                      env_rad_ref=None):
+                      env_rad_ref=None, tex_refs=None):
     """Attribute/material interpolation + motion reprojection + pack
     write (shared by the streaming and resident closest-hit loops).
 
@@ -334,17 +412,43 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     put(G_DIR, dx)
     put(G_DIR + 1, dy)
     put(G_DIR + 2, dz)
+    base = [matp[1], matp[2], matp[3]]
+    if tex_refs is not None:
+        # textured base color (getTexturedMaterialAndSurface,
+        # scene.h:78-99): bilinear atlas fetch + procedural option
+        atlas_ref, meta_ref = tex_refs
+        tid = matp[7]  # base map id (-1 none, -2 procedural)
+        t_pad = meta_ref.shape[1]
+        trow = jax.lax.broadcasted_iota(jnp.int32, (t_pad, b), 0)
+        oh_t = (trow == jnp.maximum(tid, 0.0).astype(jnp.int32)[None, :]
+                ).astype(jnp.float32)
+        tm = dot_exact_b(meta_ref[:, :], oh_t)  # [8, B]
+        u_uv = at[18] + u * at[20] + v * at[22]
+        v_uv = at[19] + u * at[21] + v * at[23]
+        tex_rgb = _tex_bilinear(
+            atlas_ref,
+            (tm[0], jnp.maximum(tm[1], 1.0), jnp.maximum(tm[2], 1.0)),
+            u_uv, v_uv,
+        )
+        proc = _procedural_tex(u_uv, v_uv)
+        use_tex = tid > -0.5
+        use_proc = (tid > -2.5) & (tid < -1.5)
+        base = [
+            jnp.where(use_tex, tex_rgb[k],
+                      jnp.where(use_proc, proc, base[k]))
+            for k in range(3)
+        ]
     if env_rad_ref is not None:
         # miss pixels carry the env background in the albedo slot (the
         # demodulated convention: kernel S shades miss as 1.0 * albedo;
         # gbuffer.cu stores env radiance the same way)
         ex, ey, ez = _env_tile_radiance(env_rad_ref, dx, dy, dz)
-        put(G_ALB, jnp.where(vf, matp[1], ex))
-        put(G_ALB + 1, jnp.where(vf, matp[2], ey))
-        put(G_ALB + 2, jnp.where(vf, matp[3], ez))
+        put(G_ALB, jnp.where(vf, base[0], ex))
+        put(G_ALB + 1, jnp.where(vf, base[1], ey))
+        put(G_ALB + 2, jnp.where(vf, base[2], ez))
     else:
         for k in range(3):
-            put(G_ALB + k, jnp.where(vf, matp[1 + k], 0.0))
+            put(G_ALB + k, jnp.where(vf, base[k], 0.0))
     put(G_DEPTH, depth)
     put(G_MOTION, motion)
     put(G_PRIMR, prim_remap)
@@ -361,9 +465,9 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
 
 def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
                              xv_ref, xw_ref, attr_ref, mat_ref, env_ref,
-                             out_ref,
+                             atlas_ref, texmeta_ref, out_ref,
                              *, n_pad, nb, m_pad, width, height, aa_jitter,
-                             single_sided, has_env):
+                             single_sided, has_env, with_textures):
     """Small-scene variant: triangle planes + attribute rows live in
     VMEM (no per-cluster DMA, no culling), the hit matmuls run at a
     wider block size, and — critically — the grid is 1-D over LINEAR
@@ -443,15 +547,16 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
         at, x, y, ox, oy, oz, dx, dy, dz,
         m_pad=m_pad, width=width, height=height, single_sided=single_sided,
         env_rad_ref=env_ref if has_env else None,
+        tex_refs=(atlas_ref, texmeta_ref) if with_textures else None,
     )
 
 
 def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
                     looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref, clb_ref,
-                    env_ref, out_ref, ids_ref, ids_sem, xpb_ref, attrb_ref,
-                    geo_sem,
+                    env_ref, atlas_ref, texmeta_ref, out_ref, ids_ref,
+                    ids_sem, xpb_ref, attrb_ref, geo_sem,
                     *, n_pad, nb, m_pad, width, height, aa_jitter,
-                    single_sided, use_pretest, has_env):
+                    single_sided, use_pretest, has_env, with_textures):
     # 2-D pixel tiles (8 rows x 128 cols): tight frusta for cluster
     # culling; raster coords come from the grid position (no division)
     ti = pl.program_id(0)
@@ -635,6 +740,7 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         a, x, y, ox, oy, oz, dx, dy, dz,
         m_pad=m_pad, width=width, height=height, single_sided=single_sided,
         env_rad_ref=env_ref if has_env else None,
+        tex_refs=(atlas_ref, texmeta_ref) if with_textures else None,
     )
 
 
@@ -660,68 +766,53 @@ def pack_camera(cam, width: int, height: int):
 
 def _primary_cluster_lists(cam_vec, width, height, tile, cluster_lo,
                            cluster_hi):
-    """Per-tile frustum culling of triangle clusters (XLA-side).
+    """Per-tile cluster work lists for primary rays (XLA-side).
 
-    Each linear pixel tile gets the conservative list of cluster ids its
-    primary rays can hit: the tile's bounding pixel rect defines a cone
-    from the camera through four (unnormalized, bilinear-in-pixel)
-    corner directions; a cluster survives unless its bounding sphere is
-    fully outside one of the four side planes or behind the camera.
-    Returns (counts [T] i32, ids [T, K] i32, compacted, passing first).
+    Each 2-D 8x128-pixel tile gets the per-ray-exact list of cluster
+    ids its primary rays can cross (see _ray_cluster_crossing). Returns
+    (counts [T] i32, ids [T, K] i32 front-to-back, dmin [K]).
     """
     r = width * height
-    n_t = (height // 8) * (width // 128)
     pos = cam_vec[0:3]
     right, up, view = cam_vec[3:6], cam_vec[6:9], cam_vec[9:12]
     tanf, focal = cam_vec[12], cam_vec[13]
     aspect = width / height
 
-    # 2-D tile grid (8 rows x 128 cols), row-major tile order
-    npj = width // 128
-    t = jnp.arange(n_t, dtype=jnp.int32)
-    ti = t // npj
-    tj = t - ti * npj
-    x0 = (tj * 128).astype(jnp.float32)
-    x1 = x0 + 128.0
-    y0f = (ti * 8).astype(jnp.float32)
-    y1f = y0f + 8.0
+    # per-ray-EXACT crossing (replaces the round-2 corner frusta, which
+    # over-covered on deep views): unjittered per-pixel directions,
+    # cluster radius inflated by a 3-pixel AA-jitter margin at the
+    # cluster's distance
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    fx = (1.0 - 2.0 * xs / width) * (aspect * tanf * focal)
+    fy = (1.0 - 2.0 * ys / height) * (tanf * focal)
+    d3 = (
+        right[None, None, :] * fx[..., None]
+        + up[None, None, :] * fy[..., None]
+        + view[None, None, :] * focal
+    )
+    d3 = d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+    # reorder pixels 2-D-tile-major to match the streaming kernel's
+    # tile = ti * (W/128) + tj convention
+    d3 = d3.reshape(height // 8, 8, width // 128, 128, 3)
+    d3 = jnp.transpose(d3, (0, 2, 1, 3, 4)).reshape(r, 3)
+    o3 = jnp.broadcast_to(pos[None, :], (r, 3))
 
-    def corner(cx, cy):
-        fx = (1.0 - 2.0 * cx / width) * (aspect * tanf * focal)
-        fy = (1.0 - 2.0 * cy / height) * (tanf * focal)
-        return (
-            right[None, :] * fx[:, None]
-            + up[None, :] * fy[:, None]
-            + view[None, :] * focal
-        )  # [T, 3]
-
-    c00 = corner(x0, y0f)
-    c10 = corner(x1, y0f)
-    c11 = corner(x1, y1f)
-    c01 = corner(x0, y1f)
-    mid = c00 + c10 + c11 + c01
-
-    center = (cluster_lo + cluster_hi) * 0.5  # [K, 3]
-    radius = 0.5 * jnp.linalg.norm(cluster_hi - cluster_lo, axis=-1)
-    rel = center[None, :, :] - pos[None, None, :]  # [1, K, 3]
-
-    inside = jnp.ones((n_t, center.shape[0]), bool)
-    for ca, cb in ((c00, c10), (c10, c11), (c11, c01), (c01, c00)):
-        n = jnp.cross(ca, cb)  # [T, 3]
-        n = n * jnp.sign(jnp.sum(n * mid, axis=-1, keepdims=True))
-        d = jnp.einsum("tc,tkc->tk", n, rel * jnp.ones((n_t, 1, 1)))
-        inside &= d >= -radius[None, :] * jnp.linalg.norm(n, axis=-1, keepdims=True)
-    ahead = (
-        jnp.einsum("c,tkc->tk", view, rel * jnp.ones((n_t, 1, 1)))
-        + radius[None, :]
-    ) > 0.0
-    inside &= ahead
+    nearest = jnp.clip(pos[None, :], cluster_lo, cluster_hi)
+    dmin = jnp.linalg.norm(nearest - pos[None, :], axis=-1)  # [K]
+    pix_ang = 2.0 * tanf / height
+    inside = _ray_cluster_crossing(
+        o3, d3, jnp.full((r,), 1e30, jnp.float32),
+        jnp.ones((r,), bool), tile, cluster_lo, cluster_hi,
+        rad_scale=dmin * (3.0 * pix_ang),
+    )
 
     counts = jnp.sum(inside, axis=1).astype(jnp.int32)
     # front-to-back order: sort each tile's PASSING clusters by the
     # camera->AABB distance (enables in-kernel occlusion termination)
-    nearest = jnp.clip(pos[None, :], cluster_lo, cluster_hi)
-    dmin = jnp.linalg.norm(nearest - pos[None, :], axis=-1)  # [K]
     key = jnp.where(inside, dmin[None, :], jnp.float32(3e38))
     order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
     return counts, order, dmin.astype(jnp.float32)
@@ -729,13 +820,14 @@ def _primary_cluster_lists(cam_vec, width, height, tile, cluster_lo,
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "aa_jitter",
                                               "single_sided", "nb", "has_env",
-                                              "interpret"))
+                                              "with_textures", "interpret"))
 def gbuffer_pack_pallas(
     cam_vec, lcam_vec, looper, tri_xform, prim_attr, mat_attr,
     cluster_lo, cluster_hi,
     width: int, height: int, aa_jitter: bool = True,
     single_sided: bool = True, nb: int = 128,
     has_env: bool = False, env_tile_rad=None,
+    with_textures: bool = False, fused_atlas=None, fused_tex_meta=None,
     pix0=0, xy=None,
     interpret: bool = False,
 ):
@@ -754,6 +846,15 @@ def gbuffer_pack_pallas(
         )  # [8, ET]
     else:
         env8 = jnp.zeros((8, 128), jnp.float32)
+    if with_textures:
+        atlas = fused_atlas.astype(jnp.float32)
+        tmeta = fused_tex_meta.astype(jnp.float32)
+        meta_t = jnp.concatenate(
+            [tmeta.T, jnp.zeros((8 - tmeta.shape[1], tmeta.shape[0]))]
+        )  # [8, T_pad]
+    else:
+        atlas = jnp.zeros((384, 128), jnp.float32)
+        meta_t = jnp.zeros((8, 8), jnp.float32)
     assert width % 128 == 0 and height % 8 == 0
     n = tri_xform.shape[1] // 3
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
@@ -797,6 +898,7 @@ def gbuffer_pack_pallas(
             _gbuffer_kernel_resident, n_pad=n_pad_res, nb=nb_res,
             m_pad=m_pad, width=width, height=height, aa_jitter=aa_jitter,
             single_sided=single_sided, has_env=has_env,
+            with_textures=with_textures,
         )
         full1 = lambda i: (0, 0)  # noqa: E731
         if xy is None:
@@ -818,6 +920,8 @@ def gbuffer_pack_pallas(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((MAT_COLS, m_pad), full1, memory_space=pltpu.VMEM),
                 pl.BlockSpec(env8.shape, full1, memory_space=pltpu.VMEM),
+                pl.BlockSpec(atlas.shape, full1, memory_space=pltpu.VMEM),
+                pl.BlockSpec(meta_t.shape, full1, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (GB_CH, _TILE // 128, 128), lambda i: (0, i, 0),
@@ -833,7 +937,7 @@ def gbuffer_pack_pallas(
         )(cam_vec, lcam_vec,
           jnp.asarray(jnp.stack([jnp.asarray(looper, jnp.uint32),
                                   jnp.asarray(pix0, jnp.uint32)])),
-          xy, xu, xv, xw, attr_res, mat_t, env8)
+          xy, xu, xv, xw, attr_res, mat_t, env8, atlas, meta_t)
         return out
 
     # per-tile frustum-culled cluster work lists (front-to-back)
@@ -861,6 +965,7 @@ def gbuffer_pack_pallas(
         _gbuffer_kernel, n_pad=n_pad, nb=nb, m_pad=m_pad, width=width,
         height=height, aa_jitter=aa_jitter, single_sided=single_sided,
         use_pretest=cluster_lo.shape[0] > 16, has_env=has_env,
+        with_textures=with_textures,
     )
     full = lambda i, j, *_: (0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -876,6 +981,10 @@ def gbuffer_pack_pallas(
             pl.BlockSpec((MAT_COLS, m_pad), full, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster bounds
             pl.BlockSpec(env8.shape, lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(atlas.shape, lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(meta_t.shape, lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -901,7 +1010,7 @@ def gbuffer_pack_pallas(
         ),
         interpret=interpret,
     )(counts, dmin, ids, cam_vec, lcam_vec,
-      _lp2(looper, pix0), xplanes, attr_t, mat_t, clb, env8)
+      _lp2(looper, pix0), xplanes, attr_t, mat_t, clb, env8, atlas, meta_t)
     return _untile_pack(out, width, height)
 
 
@@ -1522,47 +1631,83 @@ def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem,
     put(15, jnp.zeros_like(r_weight))
 
 
-def _segment_cluster_lists(gb_pack, rs_pack, tile, cluster_lo, cluster_hi):
-    """Per-tile shadow-segment culling (XLA-side): a cluster survives iff
-    its AABB overlaps the AABB of the tile's shadow segments (winner
-    visibility rays run from each pixel's hit position to its chosen
-    light sample). Conservative: the union box over-covers, never
-    under-covers. Returns (counts [T], ids [T, K] compacted)."""
-    r = gb_pack.shape[1] * 128
-    n_t = r // tile
+def _ray_cluster_crossing(o3, d3, tmax, live, tile, cluster_lo, cluster_hi,
+                          rad_scale=None):
+    """Per-ray-EXACT cluster crossing, reduced per tile (XLA-side).
 
-    def tmin(ch_arr, valid, fill):
-        v = jnp.where(valid, ch_arr, fill).reshape(n_t, tile)
-        return v
+    A ray (o, unit d, [0, tmax]) crosses cluster bounding sphere
+    (c, rad) iff linedist^2 = |c-o|^2 - ((c-o).d)^2 < rad^2 and the
+    projection (c-o).d lies in [-rad, tmax + rad] — two tiny matmuls
+    ([B, 4/5] @ [.., K]) plus elementwise per ray chunk. This replaces
+    the round-2 segment-union AABB cull, whose per-tile union box
+    over-covered by >3x on deep views (BASELINE.md hall analysis), and
+    it is exactly the any-hit pruning the reference's per-ray BVH walk
+    gets structurally (scene.h:286-316).
+
+    Returns any[T, K] bool. Processed in tile bands to bound the
+    [rays, K] intermediates. `rad_scale(dmin)` optionally inflates the
+    radius per cluster (AA-jitter margin for primary rays).
+    """
+    r = o3.shape[0]
+    n_t = r // tile
+    center = (cluster_lo + cluster_hi) * 0.5  # [K, 3]
+    rad = 0.5 * jnp.linalg.norm(cluster_hi - cluster_lo, axis=-1)
+    if rad_scale is not None:
+        rad = rad + rad_scale
+    kz = center.shape[0]
+
+    # psi tables: u.d = c.d - o.d ; |u|^2 = |c|^2 - 2 c.o + |o|^2
+    psi_a = jnp.concatenate([center, jnp.ones((kz, 1))], axis=1)  # [K, 4]
+    c2 = jnp.sum(center * center, axis=-1, keepdims=True)
+    psi_b = jnp.concatenate([center, c2, jnp.ones((kz, 1))], axis=1)  # [K,5]
+
+    band = max(1, min(n_t, 8))
+    while n_t % band:
+        band -= 1
+    nb_t = n_t // band
+    br = band * tile
+
+    def per_band(args):
+        o_b, d_b, tm_b, lv_b = args
+        od = jnp.sum(o_b * d_b, axis=-1)
+        phi_a = jnp.concatenate([d_b, -od[:, None]], axis=1)  # [br, 4]
+        a = phi_a @ psi_a.T  # [br, K] = (c - o) . d
+        o2 = jnp.sum(o_b * o_b, axis=-1)
+        phi_b = jnp.concatenate(
+            [-2.0 * o_b, jnp.ones((br, 1)), o2[:, None]], axis=1
+        )
+        u2 = phi_b @ psi_b.T  # [br, K] = |c - o|^2
+        cross = (
+            (u2 - a * a < (rad * rad)[None, :])
+            & (a > -rad[None, :])
+            & (a < tm_b[:, None] + rad[None, :])
+            & lv_b[:, None]
+        )
+        return jnp.any(cross.reshape(band, tile, kz), axis=1)  # [band, K]
+
+    inputs = (
+        o3.reshape(nb_t, br, 3), d3.reshape(nb_t, br, 3),
+        tmax.reshape(nb_t, br), live.reshape(nb_t, br),
+    )
+    any_cross = jax.lax.map(per_band, inputs)  # [nb_t, band, K]
+    return any_cross.reshape(n_t, kz)
+
+
+def _segment_cluster_lists(gb_pack, rs_pack, tile, cluster_lo, cluster_hi):
+    """Per-tile shadow-ray cluster work lists: per-ray-exact crossing
+    (see _ray_cluster_crossing). Returns (counts [T], ids flat, kp)."""
+    r = gb_pack.shape[1] * 128
 
     shade = gb_pack[G_SHADE].reshape(-1) > 0.5
     live = shade & (rs_pack[RS_W].reshape(-1) > 0.0)
-    # occluders only exist inside the scene bounds: clamp the segment
-    # union box to them (also tames env samples' dist = 1e8 endpoints)
-    scn_lo = jnp.min(cluster_lo, axis=0)  # [3]
-    scn_hi = jnp.max(cluster_hi, axis=0)
-    los, his = [], []
-    for ax in range(3):
-        o = gb_pack[G_POS + ax].reshape(-1)
-        t_ = o + rs_pack[RS_WI + ax].reshape(-1) * rs_pack[RS_DIST].reshape(-1)
-        big, small = jnp.float32(3e38), jnp.float32(-3e38)
-        lo = jnp.minimum(
-            jnp.min(jnp.where(live, o, big).reshape(n_t, tile), 1),
-            jnp.min(jnp.where(live, t_, big).reshape(n_t, tile), 1),
-        )
-        hi = jnp.maximum(
-            jnp.max(jnp.where(live, o, small).reshape(n_t, tile), 1),
-            jnp.max(jnp.where(live, t_, small).reshape(n_t, tile), 1),
-        )
-        los.append(jnp.maximum(lo, scn_lo[ax]))
-        his.append(jnp.minimum(hi, scn_hi[ax]))
-    seg_lo = jnp.stack(los, -1)  # [T, 3]
-    seg_hi = jnp.stack(his, -1)
+    o3 = jnp.stack([gb_pack[G_POS + ax].reshape(-1) for ax in range(3)], -1)
+    d3 = jnp.stack([rs_pack[RS_WI + ax].reshape(-1) for ax in range(3)], -1)
+    # env samples carry dist = 1e8; the crossing window clamps naturally
+    # (clusters beyond the scene never pass the linedist test)
+    tmax = rs_pack[RS_DIST].reshape(-1)
 
-    overlap = jnp.all(
-        (cluster_lo[None, :, :] <= seg_hi[:, None, :])
-        & (cluster_hi[None, :, :] >= seg_lo[:, None, :]),
-        axis=-1,
+    overlap = _ray_cluster_crossing(
+        o3, d3, tmax, live, tile, cluster_lo, cluster_hi
     )  # [T, K]
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
     ids = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)

@@ -86,6 +86,9 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
             width=w_img, height=h_img, aa_jitter=cfg.aa_jitter,
             single_sided=cfg.single_sided_lights,
             has_env=cfg.has_env_map, env_tile_rad=scene.env_tile_rad,
+            with_textures=cfg.with_textures,
+            fused_atlas=scene.fused_atlas,
+            fused_tex_meta=scene.fused_tex_meta,
             pix0=pix0, xy=xy, interpret=interpret,
         )
 

@@ -15,6 +15,7 @@ from .scene_data import (
     LAMBERTIAN,
     LIGHT,
     METALLIC_WORKFLOW,
+    PROCEDURAL_TEXTURE,
     MaterialDesc,
     MeshInstance,
     build_scene,
@@ -217,6 +218,67 @@ def env_scene(
     camera_kwargs = dict(
         position=(0.0, 2.0, 9.0),
         rotation=(-90.0, -5.0, 0.0),
+        fov_y=35.0,
+        focal_dist=1.0,
+    )
+    return scene, camera_kwargs
+
+
+def textured_scene(seed: int = 5, bvh_impl: str = "auto"):
+    """Closed room with base-color-textured floor/wall, a procedural-
+    textured block, and two area lights. Textures are <= 128 px wide so
+    the fused mip-clamped atlas stores them exactly (bit-comparable to
+    the general path's bilinear fetch)."""
+    rng = np.random.default_rng(seed)
+    E, H = 6.0, 5.0
+
+    # texture 0: checkerboard 64x64; texture 1: smooth gradient 128x96
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    checker = ((xx // 8 + yy // 8) % 2).astype(np.float32)
+    tex0 = np.stack([0.2 + 0.7 * checker, 0.25 + 0.4 * checker,
+                     np.full_like(checker, 0.35)], axis=-1)
+    gy, gx = np.meshgrid(np.linspace(0, 1, 96), np.linspace(0, 1, 128),
+                         indexing="ij")
+    tex1 = np.stack([0.3 + 0.5 * gx, 0.3 + 0.5 * gy,
+                     0.8 - 0.5 * gx * gy], axis=-1).astype(np.float32)
+
+    materials = [
+        MaterialDesc(type=LAMBERTIAN, base_map=0),  # textured floor
+        MaterialDesc(type=LAMBERTIAN, base_map=1),  # textured back wall
+        MaterialDesc(type=LAMBERTIAN, base_color=(0.5, 0.5, 0.55)),
+        MaterialDesc(type=LAMBERTIAN, base_map=PROCEDURAL_TEXTURE),
+        MaterialDesc(type=LIGHT, base_color=(14.0, 12.0, 10.0)),
+        MaterialDesc(type=LIGHT, base_color=(6.0, 8.0, 12.0)),
+    ]
+    instances = []
+
+    def add_quad(p0, p1, p2, p3, mid):
+        v, n, t = quad_mesh(p0, p1, p2, p3)
+        instances.append(MeshInstance(vertices=v, normals=n, uvs=t, material_id=mid))
+
+    add_quad([-E, 0, E], [E, 0, E], [E, 0, -E], [-E, 0, -E], 0)  # floor
+    add_quad([-E, 0, -E], [E, 0, -E], [E, H, -E], [-E, H, -E], 1)  # back
+    add_quad([-E, H, -E], [E, H, -E], [E, H, E], [-E, H, E], 2)  # ceiling
+    add_quad([-E, 0, E], [-E, 0, -E], [-E, H, -E], [-E, H, E], 2)  # left
+    add_quad([E, 0, -E], [E, 0, E], [E, H, E], [E, H, -E], 2)  # right
+
+    cube_v, cube_n, cube_t = cube_mesh(0.5)
+    instances.append(
+        MeshInstance(vertices=cube_v, normals=cube_n, uvs=cube_t,
+                     material_id=3, translation=(-1.5, 0.9, -1.0),
+                     rotation=(0.0, 25.0, 0.0), scale=(1.8, 1.8, 1.8))
+    )
+
+    for i, (cx, cz) in enumerate([(-2.0, 1.0), (2.5, -2.0)]):
+        s, y = 0.5, H - 1e-2
+        add_quad([cx - s, y, cz - s], [cx + s, y, cz - s],
+                 [cx + s, y, cz + s], [cx - s, y, cz + s], 4 + i)
+
+    scene = build_scene(instances, materials, textures=[tex0, tex1],
+                        bvh_impl=bvh_impl)
+    camera_kwargs = dict(
+        position=(0.0, 2.5, 7.0),
+        rotation=(-90.0, -8.0, 0.0),
         fov_y=35.0,
         focal_dist=1.0,
     )

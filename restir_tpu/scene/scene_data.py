@@ -135,6 +135,12 @@ class SceneData(NamedTuple):
     tex_offset: jnp.ndarray  # [T] int32
     tex_width: jnp.ndarray  # [T] int32
     tex_height: jnp.ndarray  # [T] int32
+    # fused-path mip-clamped texture atlas (rows <= FUSED_ATLAS_ROWS,
+    # widths <= 128; see _build_fused_atlas): [3*128, rows_pad] where
+    # entry [c*128 + x, row] = texel (row, x, channel c); and per-
+    # texture meta rows (row0, width, height, valid)
+    fused_atlas: jnp.ndarray  # [384, rows_pad]
+    fused_tex_meta: jnp.ndarray  # [T_pad, 4]
 
 
 def num_prims(scene: SceneData) -> int:
@@ -279,6 +285,60 @@ def _build_env_tiles(env: np.ndarray):
     uv = np.stack([u0, v0, du, dv], axis=-1)
     return (rad.astype(np.float32), uv.astype(np.float32),
             sa.astype(np.float32))
+
+
+# fused-path atlas budget: total texel rows (each 128 texels wide).
+# 256 rows keep the two in-kernel row-fetch matmuls ~6 us/tile at 1080p
+FUSED_ATLAS_ROWS = 256
+FUSED_TEX_MAX_W = 128
+
+
+def _box_mip(t: np.ndarray) -> np.ndarray:
+    """One 2x box-filter mip level (odd tails fold into the last bin)."""
+    h, w = t.shape[0], t.shape[1]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    t = t[: h2 * 2, : w2 * 2]
+    return 0.25 * (t[0::2, 0::2] + t[1::2, 0::2] + t[0::2, 1::2]
+                   + t[1::2, 1::2])
+
+
+def _build_fused_atlas(textures):
+    """Mip-clamped texture atlas for the fused kernels.
+
+    Each texture is box-mipped until its width fits FUSED_TEX_MAX_W=128
+    lanes and the TOTAL row count fits FUSED_ATLAS_ROWS (a standard
+    mip-bias quality tradeoff, documented in SURVEY §9): the atlas then
+    lives in VMEM and a texel fetch is one [384, rows] one-hot matmul +
+    a lane select — no gathers (Mosaic has none). Textures already
+    <= 128 px wide and within budget are stored exactly, so the fused
+    bilinear fetch is bit-comparable to the general path's.
+    Returns (atlas [3*128, rows_pad] f32, meta [T_pad, 4] f32 with
+    per-texture (row0, width, height, valid))."""
+    mips = [np.asarray(t, np.float32) for t in textures]
+    for i in range(len(mips)):
+        while mips[i].shape[1] > FUSED_TEX_MAX_W:
+            mips[i] = _box_mip(mips[i])
+    while sum(m.shape[0] for m in mips) > FUSED_ATLAS_ROWS:
+        # shrink the tallest texture until the shared budget fits
+        i = int(np.argmax([m.shape[0] for m in mips]))
+        if mips[i].shape[0] <= 1:
+            break
+        mips[i] = _box_mip(mips[i])
+
+    rows = sum(m.shape[0] for m in mips)
+    rows_pad = max(-(-rows // 128) * 128, 128)
+    atlas = np.zeros((384, rows_pad), np.float32)
+    t_pad = max(-(-len(mips) // 8) * 8, 8)
+    meta = np.zeros((t_pad, 4), np.float32)
+    r0 = 0
+    for i, m in enumerate(mips):
+        h, w = m.shape[0], m.shape[1]
+        for c in range(3):
+            # entry [c*128 + x, r0 + y] = texel (y, x, c)
+            atlas[c * 128:c * 128 + w, r0:r0 + h] = m[..., c].T
+        meta[i] = (r0, w, h, 1.0)
+        r0 += h
+    return atlas, meta
 
 
 def _luminance_np(c):
@@ -427,11 +487,14 @@ def build_scene(
         tex_offset = np.asarray(offsets, np.int32)
         tex_width = np.asarray(widths, np.int32)
         tex_height = np.asarray(heights, np.int32)
+        fused_atlas, fused_tex_meta = _build_fused_atlas(textures)
     else:
         tex_data = np.zeros((1, 3), np.float32)
         tex_offset = np.zeros(1, np.int32)
         tex_width = np.ones(1, np.int32)
         tex_height = np.ones(1, np.int32)
+        fused_atlas = np.zeros((384, 128), np.float32)
+        fused_tex_meta = np.zeros((8, 4), np.float32)
 
     if light_prim_ids:
         lp = np.asarray(light_prim_ids, np.int32)
@@ -493,4 +556,6 @@ def build_scene(
         tex_offset=jnp.asarray(tex_offset),
         tex_width=jnp.asarray(tex_width),
         tex_height=jnp.asarray(tex_height),
+        fused_atlas=jnp.asarray(fused_atlas),
+        fused_tex_meta=jnp.asarray(fused_tex_meta),
     )

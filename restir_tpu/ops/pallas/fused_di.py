@@ -1633,33 +1633,30 @@ def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem,
 
 def _ray_cluster_crossing(o3, d3, tmax, live, tile, cluster_lo, cluster_hi,
                           rad_scale=None):
-    """Per-ray-EXACT cluster crossing, reduced per tile (XLA-side).
+    """Per-ray-EXACT cluster-AABB crossing, reduced per tile (XLA-side).
 
-    A ray (o, unit d, [0, tmax]) crosses cluster bounding sphere
-    (c, rad) iff linedist^2 = |c-o|^2 - ((c-o).d)^2 < rad^2 and the
-    projection (c-o).d lies in [-rad, tmax + rad] — two tiny matmuls
-    ([B, 4/5] @ [.., K]) plus elementwise per ray chunk. This replaces
-    the round-2 segment-union AABB cull, whose per-tile union box
-    over-covered by >3x on deep views (BASELINE.md hall analysis), and
-    it is exactly the any-hit pruning the reference's per-ray BVH walk
-    gets structurally (scene.h:286-316).
+    The slab test t = (bound - o) * inv_d is bilinear in (per-cluster
+    bound, per-ray inv_d / o*inv_d): six tiny [B, 2] @ [2, K] matmuls
+    plus elementwise min/max per ray chunk give the exact AABB interval
+    test the in-kernel pretest runs — so the work lists contain ONLY
+    clusters some live ray truly crosses. This replaces the round-2
+    segment-union cull (>3x over-coverage on deep views) and the
+    round-3a bounding-sphere variant (~2x over-coverage on long-thin
+    Morton clusters); it is the any-hit pruning the reference's per-ray
+    BVH walk gets structurally (scene.h:286-316).
 
     Returns any[T, K] bool. Processed in tile bands to bound the
-    [rays, K] intermediates. `rad_scale(dmin)` optionally inflates the
-    radius per cluster (AA-jitter margin for primary rays).
+    [rays, K] intermediates. `rad_scale` ([K]) optionally inflates the
+    AABBs (AA-jitter margin for primary rays).
     """
     r = o3.shape[0]
     n_t = r // tile
-    center = (cluster_lo + cluster_hi) * 0.5  # [K, 3]
-    rad = 0.5 * jnp.linalg.norm(cluster_hi - cluster_lo, axis=-1)
+    kz = cluster_lo.shape[0]
+    lo = cluster_lo.astype(jnp.float32)
+    hi = cluster_hi.astype(jnp.float32)
     if rad_scale is not None:
-        rad = rad + rad_scale
-    kz = center.shape[0]
-
-    # psi tables: u.d = c.d - o.d ; |u|^2 = |c|^2 - 2 c.o + |o|^2
-    psi_a = jnp.concatenate([center, jnp.ones((kz, 1))], axis=1)  # [K, 4]
-    c2 = jnp.sum(center * center, axis=-1, keepdims=True)
-    psi_b = jnp.concatenate([center, c2, jnp.ones((kz, 1))], axis=1)  # [K,5]
+        lo = lo - rad_scale[:, None]
+        hi = hi + rad_scale[:, None]
 
     band = max(1, min(n_t, 8))
     while n_t % band:
@@ -1669,18 +1666,23 @@ def _ray_cluster_crossing(o3, d3, tmax, live, tile, cluster_lo, cluster_hi,
 
     def per_band(args):
         o_b, d_b, tm_b, lv_b = args
-        od = jnp.sum(o_b * d_b, axis=-1)
-        phi_a = jnp.concatenate([d_b, -od[:, None]], axis=1)  # [br, 4]
-        a = phi_a @ psi_a.T  # [br, K] = (c - o) . d
-        o2 = jnp.sum(o_b * o_b, axis=-1)
-        phi_b = jnp.concatenate(
-            [-2.0 * o_b, jnp.ones((br, 1)), o2[:, None]], axis=1
-        )
-        u2 = phi_b @ psi_b.T  # [br, K] = |c - o|^2
+        tiny = 1e-12
+        inv = 1.0 / jnp.where(jnp.abs(d_b) < tiny, tiny, d_b)  # [br, 3]
+        # slab bounds per axis, matmul form:
+        # t = (bound - o) * inv = bound * inv - o * inv
+        t_near = jnp.full((br, kz), -3e38, jnp.float32)
+        t_far = jnp.full((br, kz), 3e38, jnp.float32)
+        for ax in range(3):
+            phi = jnp.stack([inv[:, ax], -o_b[:, ax] * inv[:, ax]], axis=1)
+            psi_lo = jnp.stack([lo[:, ax], jnp.ones(kz)], axis=1)
+            psi_hi = jnp.stack([hi[:, ax], jnp.ones(kz)], axis=1)
+            t1 = phi @ psi_lo.T  # [br, K]
+            t2 = phi @ psi_hi.T
+            t_near = jnp.maximum(t_near, jnp.minimum(t1, t2))
+            t_far = jnp.minimum(t_far, jnp.maximum(t1, t2))
         cross = (
-            (u2 - a * a < (rad * rad)[None, :])
-            & (a > -rad[None, :])
-            & (a < tm_b[:, None] + rad[None, :])
+            (t_far >= t_near) & (t_far >= 0.0)
+            & (t_near <= tm_b[:, None])
             & lv_b[:, None]
         )
         return jnp.any(cross.reshape(band, tile, kz), axis=1)  # [band, K]

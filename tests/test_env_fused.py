@@ -167,6 +167,7 @@ def test_env_reuse_kernel_matches_general(scene_cam, monkeypatch):
         assert (dist_got > 1e7).any()
 
 
+@pytest.mark.slow
 def test_env_fused_step_statistical(scene_cam, monkeypatch):
     """Full spatiotemporal fused frames on the env scene: finite, env
     winners present, mean energy close to the general pipeline."""

@@ -173,6 +173,7 @@ def test_reuse_kernel_matches_general_ris_and_temporal(scene_cam, monkeypatch):
         assert (m_ref[ok] == m_got[ok]).all(), frame
 
 
+@pytest.mark.slow
 def test_fused_step_statistical_parity(scene_cam, monkeypatch):
     """Full spatiotemporal fused frames vs the general pipeline: equal
     image means (spatial offsets differ per design, so only statistics
@@ -281,6 +282,7 @@ def test_svgf_temporal_kernel_matches_general(scene_cam):
     )
 
 
+@pytest.mark.slow
 def test_fused_svgf_step_statistical(scene_cam, monkeypatch):
     """Full fused frames with SVGF: finite, and mean energy tracks the
     general SVGF pipeline."""

@@ -15,6 +15,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from restir_tpu import renderer
 from restir_tpu.config import RenderConfig, ReuseMode, TracerType
 from restir_tpu.ops.camera import make_camera

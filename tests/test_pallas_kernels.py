@@ -240,6 +240,7 @@ def test_ris_cdf_pallas_matches_xla_cdf(scene_cam):
     assert np.all(np.asarray(m)[~shade_np] == 0)
 
 
+@pytest.mark.slow
 def test_ris_cdf_pallas_statistical_shading(scene_cam):
     """End-to-end statistical check: shading from the pallas kernel's
     reservoirs (interpret mode, many frames) matches the XLA cdf path's

@@ -32,6 +32,7 @@ def _run(scene, cam, tracer, frames=FRAMES, **kw):
     return np.asarray(frame)
 
 
+@pytest.mark.slow
 def test_ris_only_matches_pt_direct(scene_cam):
     """RIS (no reuse) vs the unbiased 1-spp NEE tracer — equal means."""
     scene, cam = scene_cam
@@ -43,6 +44,7 @@ def test_ris_only_matches_pt_direct(scene_cam):
     assert rel_rmse < 0.6  # loose: 60-frame RIS noise at 24x24
 
 
+@pytest.mark.slow
 def test_spatiotemporal_matches_pt_direct(scene_cam):
     """Full spatiotemporal reuse converges to the same direct light."""
     scene, cam = scene_cam
@@ -52,6 +54,7 @@ def test_spatiotemporal_matches_pt_direct(scene_cam):
     assert not np.isnan(st).any()
 
 
+@pytest.mark.slow
 def test_spatiotemporal_lower_variance_than_ris():
     """The point of ReSTIR: on a many-light scene at equal frame budget,
     single-frame spatiotemporal output is much less noisy than raw RIS.
@@ -128,6 +131,7 @@ def test_restir_gi_finite_and_positive(scene_cam):
     assert out.mean() > 0
 
 
+@pytest.mark.slow
 def test_restir_gi_split_path_matches_fused(scene_cam, monkeypatch):
     """The two-program RESTIR_GI split (used at >= 1080p-scale) must
     produce the same image as the single fused program."""

@@ -66,6 +66,7 @@ def test_sharded_matches_single_device(setup):
     assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
 
 
+@pytest.mark.slow
 def test_fused_sharded_matches_single_device():
     """The shard_map'd FUSED pipeline (row bands + explicit ppermute
     halos for temporal/spatial/SVGF windows) reproduces the

@@ -103,6 +103,7 @@ def test_textured_gbuffer_albedo_matches_general(scene_cam):
     assert alb_got.std(axis=0).max() > 0.05
 
 
+@pytest.mark.slow
 def test_textured_fused_step_statistical(scene_cam, monkeypatch):
     scene, cam = scene_cam
     cfg = _cfg()

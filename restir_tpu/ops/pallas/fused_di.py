@@ -596,77 +596,95 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
     # rows stream through a double-buffered VMEM slot
     count = counts_ref[tile]
 
+    # cluster PAIRS per iteration (same rationale as the vis loop: the
+    # work lists are per-ray-exact, pairing halves DMA-sync + dispatch;
+    # odd tails re-test the first listed cluster — harmless for closest
+    # hit). The AABB pretest is KEPT here: for primary rays the
+    # (t_near < best_dist) term is occlusion culling that strengthens
+    # as the front-to-back walk shrinks best_dist.
+    pcnt = (count + 1) // 2
+
+    def pair_ids(j):
+        c0 = ids_ref[2 * j]
+        c1 = ids_ref[jnp.minimum(2 * j + 1, jnp.maximum(count - 1, 0))]
+        return c0, c1
+
     def fetch(j, slot):
-        c = ids_ref[j]
-        col = pl.multiple_of(c * nb, nb)
-        pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
-            geo_sem.at[slot, 0],
-        ).start()
-        pltpu.make_async_copy(
-            attr_hbm_ref.at[:, pl.ds(col, nb)], attrb_ref.at[slot],
-            geo_sem.at[slot, 1],
-        ).start()
+        c0, c1 = pair_ids(j)
+        for hk, c in ((0, c0), (1, c1)):
+            col = pl.multiple_of(c * nb, nb)
+            pltpu.make_async_copy(
+                xp_hbm_ref.at[:, pl.ds(col, nb)],
+                xpb_ref.at[slot, :, hk * nb:(hk + 1) * nb],
+                geo_sem.at[slot, 2 * hk],
+            ).start()
+            pltpu.make_async_copy(
+                attr_hbm_ref.at[:, pl.ds(col, nb)],
+                attrb_ref.at[slot, :, hk * nb:(hk + 1) * nb],
+                geo_sem.at[slot, 2 * hk + 1],
+            ).start()
 
     def fetch_wait(j, slot):
-        c = ids_ref[j]
-        col = pl.multiple_of(c * nb, nb)
-        pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
-            geo_sem.at[slot, 0],
-        ).wait()
-        pltpu.make_async_copy(
-            attr_hbm_ref.at[:, pl.ds(col, nb)], attrb_ref.at[slot],
-            geo_sem.at[slot, 1],
-        ).wait()
+        c0, c1 = pair_ids(j)
+        for hk, c in ((0, c0), (1, c1)):
+            col = pl.multiple_of(c * nb, nb)
+            pltpu.make_async_copy(
+                xp_hbm_ref.at[:, pl.ds(col, nb)],
+                xpb_ref.at[slot, :, hk * nb:(hk + 1) * nb],
+                geo_sem.at[slot, 2 * hk],
+            ).wait()
+            pltpu.make_async_copy(
+                attr_hbm_ref.at[:, pl.ds(col, nb)],
+                attrb_ref.at[slot, :, hk * nb:(hk + 1) * nb],
+                geo_sem.at[slot, 2 * hk + 1],
+            ).wait()
 
-    @pl.when(count > 0)
+    @pl.when(pcnt > 0)
     def _():
         fetch(0, 0)
 
     def body(state):
         i, _, carry = state
         best_dist, best_prim, best_u, best_v, best_attr = carry
-        c = ids_ref[i]  # cluster id (tile's DMA'd work list)
+        c0, c1 = pair_ids(i)
         slot = jax.lax.rem(i, 2)
 
-        @pl.when(i + 1 < count)
+        @pl.when(i + 1 < pcnt)
         def _():
             fetch(i + 1, jax.lax.rem(i + 1, 2))
 
         fetch_wait(i, slot)
 
-        # per-ray AABB pretest: skip the (expensive) per-triangle
-        # matmuls unless some ray both intersects this cluster's box
-        # AND could improve its current best hit — per-ray-accurate
-        # occlusion pruning in lockstep form. The test itself costs a
-        # few us of narrow VPU work, so tiny scenes skip it.
-        t1x = (clb_ref[c, 0] - ox) * inv_dx
-        t2x = (clb_ref[c, 4] - ox) * inv_dx
-        t1y = (clb_ref[c, 1] - oy) * inv_dy
-        t2y = (clb_ref[c, 5] - oy) * inv_dy
-        t1z = (clb_ref[c, 2] - oz) * inv_dz
-        t2z = (clb_ref[c, 6] - oz) * inv_dz
-        t_near = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z),
-        )
-        t_far = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z),
-        )
-        touch = (t_far >= 0.0) & (t_far >= t_near) & (t_near < best_dist)
+        # per-ray AABB pretest over BOTH boxes of the pair
+        def box_touch(c):
+            t1x = (clb_ref[c, 0] - ox) * inv_dx
+            t2x = (clb_ref[c, 4] - ox) * inv_dx
+            t1y = (clb_ref[c, 1] - oy) * inv_dy
+            t2y = (clb_ref[c, 5] - oy) * inv_dy
+            t1z = (clb_ref[c, 2] - oz) * inv_dz
+            t2z = (clb_ref[c, 6] - oz) * inv_dz
+            t_near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            t_far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            return (t_far >= 0.0) & (t_far >= t_near) & (t_near < best_dist)
+
         if use_pretest:
+            touch = box_touch(c0) | box_touch(c1)
             any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
         else:
             any_touch = True
 
         def test_cluster(carry):
             best_dist, best_prim, best_u, best_v, best_attr = carry
-            xu = xpb_ref[slot, 0:4, :]
+            xu = xpb_ref[slot, 0:4, :]  # [4, 2*nb]
             xv = xpb_ref[slot, 4:8, :]
             xw = xpb_ref[slot, 8:12, :]
-            oou = dot_f32x3(xu.T, None, b_split=oh4_split)  # [nb, B]
+            oou = dot_f32x3(xu.T, None, b_split=oh4_split)  # [2nb, B]
             oov = dot_f32x3(xv.T, None, b_split=oh4_split)
             oow = dot_f32x3(xw.T, None, b_split=oh4_split)
             ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
@@ -679,19 +697,23 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
             hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             dist = jnp.where(hit, t, _BIG)
             j = jnp.argmin(dist, axis=0)
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, b), 0)
             oh_best = row_ids == j[None, :]
             d_best = jnp.min(dist, axis=0)
             u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=0)
             v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=0)
-            # transposed attr fetch: [ATTR_COLS, nb] @ one-hot [nb, B]
+            # global prim id: halves map to different clusters
+            prim_new = jnp.where(
+                j < nb, j + c0 * nb, j - nb + c1 * nb
+            )
+            # transposed attr fetch: [ATTR_COLS, 2nb] @ one-hot [2nb, B]
             attr_best = dot_exact_b(
                 attrb_ref[slot], oh_best.astype(jnp.float32)
             )  # [ATTR_COLS, B]
             closer = d_best < best_dist
             return (
                 jnp.minimum(best_dist, d_best),
-                jnp.where(closer, j + c * nb, best_prim),
+                jnp.where(closer, prim_new, best_prim),
                 jnp.where(closer, u_best, best_u),
                 jnp.where(closer, v_best, best_v),
                 jnp.where(closer[None, :], attr_best, best_attr),
@@ -705,9 +727,9 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         new_best = carry[0]
         # occlusion early-termination: the work list is sorted
         # front-to-back by camera->AABB distance, so once every ray's
-        # best hit is nearer than the NEXT cluster can possibly be, stop
-        nxt_c = ids_ref[jnp.minimum(i + 1, jnp.maximum(count - 1, 0))]
-        done = (i + 1 >= count) | (jnp.max(new_best) < dmin_ref[nxt_c])
+        # best hit is nearer than the NEXT pair can possibly be, stop
+        nxt_c = ids_ref[jnp.minimum(2 * (i + 1), jnp.maximum(count - 1, 0))]
+        done = (i + 1 >= pcnt) | (jnp.max(new_best) < dmin_ref[nxt_c])
         return (i + 1, done, carry)
 
     def cond(state):
@@ -730,9 +752,9 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
     )
 
     # drain the in-flight prefetch when the loop exited early (the DMA
-    # for cluster n_done was started in the last iteration but never
+    # for the next pair was started in the last iteration but never
     # consumed; an unconsumed DMA at kernel end is a runtime error)
-    @pl.when((n_done > 0) & (n_done < count))
+    @pl.when((n_done > 0) & (n_done < pcnt))
     def _():
         fetch_wait(n_done, jax.lax.rem(n_done, 2))
     _gbuffer_epilogue(
@@ -994,9 +1016,9 @@ def gbuffer_pack_pallas(
         scratch_shapes=[
             pltpu.SMEM((kp,), jnp.int32),
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((2, 16, nb), jnp.float32),
-            pltpu.VMEM((2, ATTR_COLS, nb), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 16, 2 * nb), jnp.float32),
+            pltpu.VMEM((2, ATTR_COLS, 2 * nb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
@@ -1323,106 +1345,95 @@ def _vis_temporal_kernel(vcounts_ref, w0_ref, vids_hbm_ref, gb_ref, rs_ref,
     ids_dma.wait()
     vcount = vcounts_ref[tile_id]
 
+    # cluster PAIRS per iteration: the work lists are per-ray-exact
+    # (every listed cluster is truly crossed — _ray_cluster_crossing),
+    # so the old in-kernel AABB pretest almost never skips and only
+    # added ~1.5 us/cluster; pairing instead halves the DMA-sync and
+    # matmul dispatch counts. Odd tails re-test the list's first
+    # cluster (testing extra REAL geometry is always occlusion-correct).
+    pc = (vcount + 1) // 2  # pair count
+
+    def pair_ids(j):
+        c0 = vids_ref[2 * j]
+        c1 = vids_ref[jnp.minimum(2 * j + 1, jnp.maximum(vcount - 1, 0))]
+        return c0, c1
+
     def vfetch(j, slot):
-        c = vids_ref[j]
-        col = pl.multiple_of(c * nb, nb)
+        c0, c1 = pair_ids(j)
         pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
-            geo_sem.at[slot],
+            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c0 * nb, nb), nb)],
+            xpb_ref.at[slot, :, 0:nb], geo_sem.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c1 * nb, nb), nb)],
+            xpb_ref.at[slot, :, nb:2 * nb], geo_sem.at[slot, 1],
         ).start()
 
     def vfetch_wait(j, slot):
-        c = vids_ref[j]
-        col = pl.multiple_of(c * nb, nb)
+        c0, c1 = pair_ids(j)
         pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(col, nb)], xpb_ref.at[slot],
-            geo_sem.at[slot],
+            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c0 * nb, nb), nb)],
+            xpb_ref.at[slot, :, 0:nb], geo_sem.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c1 * nb, nb), nb)],
+            xpb_ref.at[slot, :, nb:2 * nb], geo_sem.at[slot, 1],
         ).wait()
 
-    @pl.when(vcount > 0)
+    @pl.when(pc > 0)
     def _():
         vfetch(0, 0)
 
     def vis_body(state):
         i, _, occluded = state
-        c = vids_ref[i]
+        c0, c1 = pair_ids(i)
         slot = jax.lax.rem(i, 2)
 
-        @pl.when(i + 1 < vcount)
+        @pl.when(i + 1 < pc)
         def _():
             vfetch(i + 1, jax.lax.rem(i + 1, 2))
 
         vfetch_wait(i, slot)
 
-        # per-ray segment-vs-AABB pretest: skip the per-triangle matmuls
-        # unless some still-unoccluded ray's shadow segment crosses this
-        # cluster's box
-        t1x = (clb_ref[c, 0] - ox) * inv_wx
-        t2x = (clb_ref[c, 4] - ox) * inv_wx
-        t1y = (clb_ref[c, 1] - oy) * inv_wy
-        t2y = (clb_ref[c, 5] - oy) * inv_wy
-        t1z = (clb_ref[c, 2] - oz) * inv_wz
-        t2z = (clb_ref[c, 6] - oz) * inv_wz
-        t_near = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z),
+        xu = xpb_ref[slot, 0:4, :]  # [4, 2*nb]
+        xv = xpb_ref[slot, 4:8, :]
+        xw = xpb_ref[slot, 8:12, :]
+        oou = dot_f32x3(xu.T, None, b_split=oh4_split)  # [2nb, B]
+        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
+        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
+        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
+        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
+        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
+        nondeg = jnp.abs(ddw) >= 1e-12
+        tt = -oow / jnp.where(nondeg, ddw, 1.0)
+        uu = oou + tt * ddu
+        vv = oov + tt * ddv
+        row = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, b), 0)
+        tri_ids = jnp.where(
+            row < nb, row + c0 * nb, row - nb + c1 * nb
         )
-        t_far = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z),
+        blocked = (
+            nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0)
+            & (uu + vv <= 1.0)
+            & (tt < limit[None, :])
+            & (tri_ids != prim_origin[None, :])
         )
-        touch = (
-            (t_far >= 0.0) & (t_far >= t_near) & (t_near < limit)
-            & (occluded < 0.5)
+        occluded = jnp.maximum(
+            occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
         )
-        if use_pretest:
-            any_touch = jnp.max(touch.astype(jnp.float32)) > 0.0
-        else:
-            any_touch = True
-
-        def test_cluster(occluded):
-            xu = xpb_ref[slot, 0:4, :]
-            xv = xpb_ref[slot, 4:8, :]
-            xw = xpb_ref[slot, 8:12, :]
-            oou = dot_f32x3(xu.T, None, b_split=oh4_split)
-            oov = dot_f32x3(xv.T, None, b_split=oh4_split)
-            oow = dot_f32x3(xw.T, None, b_split=oh4_split)
-            ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
-            ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
-            ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
-            nondeg = jnp.abs(ddw) >= 1e-12
-            tt = -oow / jnp.where(nondeg, ddw, 1.0)
-            uu = oou + tt * ddu
-            vv = oov + tt * ddv
-            tri_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, b), 0) + c * nb
-            blocked = (
-                nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0)
-                & (uu + vv <= 1.0)
-                & (tt < limit[None, :])
-                & (tri_ids != prim_origin[None, :])
-            )
-            return jnp.maximum(
-                occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
-            )
-
-        if use_pretest:
-            occluded = jax.lax.cond(any_touch, test_cluster, lambda o: o,
-                                    occluded)
-        else:
-            occluded = test_cluster(occluded)
         # any-hit early exit: stop once every lane that needed a shadow
         # ray is occluded (lanes with no ray start pre-occluded)
-        done = (i + 1 >= vcount) | (jnp.min(occluded) > 0.5)
+        done = (i + 1 >= pc) | (jnp.min(occluded) > 0.5)
         return (i + 1, done, occluded)
 
     occ0 = jnp.where(~shade | (r_weight <= 0.0), 1.0, 0.0)
     v_done, _, occluded = jax.lax.while_loop(
         lambda st: jnp.logical_not(st[1]),
         vis_body,
-        (jnp.int32(0), (vcount <= 0) | (jnp.min(occ0) > 0.5), occ0),
+        (jnp.int32(0), (pc <= 0) | (jnp.min(occ0) > 0.5), occ0),
     )
 
-    @pl.when((v_done > 0) & (v_done < vcount))
+    @pl.when((v_done > 0) & (v_done < pc))
     def _():
         vfetch_wait(v_done, jax.lax.rem(v_done, 2))
     # occ0 pre-marks resolved lanes; their weights are 0 already, so the
@@ -1894,8 +1905,8 @@ def reuse_pallas(
             pltpu.VMEM((PT_CH, window), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((2, 16, nb), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, 2 * nb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(

@@ -217,6 +217,43 @@ def test_fused_step_statistical_parity(scene_cam, monkeypatch):
     assert np.asarray(fstate.pt_pack[fk.P_M]).mean() > 2 * cfg.cdf_candidates
 
 
+def test_streaming_reuse_matches_resident(monkeypatch):
+    """The wavefront-sorted streaming visibility path (global ray sort +
+    per-tile cluster work lists + unsorted merge kernel) must reproduce
+    the resident path bit-near on the same scene: per-ray occlusion is an
+    order-independent OR over the same triangle tests, and the temporal
+    merge runs in original pixel order either way."""
+    scene, camkw = many_light_scene(n_lights=16, n_blocks=120,
+                                    bvh_impl="numpy")
+    assert scene.tri_xform.shape[1] // 3 > fk._RESIDENT_MAX_TRIS
+    cam = make_camera(**camkw)
+    cfg = _cfg(width=128, height=32, aa_jitter=False)
+    looper = jnp.uint32(3)
+    gb = _gb_pack(scene, cam, cfg, looper)
+    rng = np.random.default_rng(11)
+    prev = jnp.asarray(
+        np.abs(rng.normal(size=(fk.PT_CH, cfg.num_pixels))).astype(
+            np.float32))
+
+    def run():
+        fk.reuse_pallas.clear_cache()
+        return fk.reuse_pallas(
+            gb, prev, looper,
+            scene.light_verts, scene.light_normal, scene.light_radiance,
+            scene.light_area, scene.light_center, scene.light_radius,
+            scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            k=4, single_sided=cfg.single_sided_lights,
+            temporal=True, temporal_clamp=cfg.temporal_clamp,
+            interpret=True,
+        )
+
+    streaming = np.asarray(run())
+    monkeypatch.setattr(fk, "_RESIDENT_MAX_TRIS", 10 ** 9)
+    resident = np.asarray(run())
+    fk.reuse_pallas.clear_cache()
+    np.testing.assert_allclose(streaming, resident, rtol=2e-4, atol=1e-5)
+
+
 def test_fused_step_determinism(scene_cam):
     scene, cam = scene_cam
     cfg = _cfg()

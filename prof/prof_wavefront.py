@@ -183,12 +183,14 @@ def main():
                      0, 2 ** bits - 1)
         return (q[:, 0] << (2 * bits)) | (q[:, 1] << bits) | q[:, 2]
 
+    prim = gb[fk.G_PRIM].reshape(-1).astype(jnp.int32)
+    pclu = jnp.maximum(prim, 0) // 128  # Morton cluster of the origin tri
     variants = {
-        "dir3x4": oct_bits(d3, 4),
         "pos3x2_dir3x3": (pos_bits(o3, 2) << 9) | oct_bits(d3, 3),
-        "pos3x3_dir3x3": (pos_bits(o3, 3) << 9) | oct_bits(d3, 3),
-        "pos3x2_dir3x4": (pos_bits(o3, 2) << 12) | oct_bits(d3, 4),
-        "dir3x3_pos3x3": (oct_bits(d3, 3) << 9) | pos_bits(o3, 3),
+        "pclu_dir3x3": (pclu << 9) | oct_bits(d3, 3),
+        "pclu_dir3x4": (pclu << 12) | oct_bits(d3, 4),
+        "pclu4_dir3x3": ((pclu // 4) << 9) | oct_bits(d3, 3),
+        "dir3x3_pclu": (oct_bits(d3, 3) << 12) | pclu,
     }
     for name, key in variants.items():
         key = jnp.where(live, key, jnp.int32(0x7FFFFFFF))

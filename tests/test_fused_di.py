@@ -229,7 +229,17 @@ def test_streaming_reuse_matches_resident(monkeypatch):
     cam = make_camera(**camkw)
     cfg = _cfg(width=128, height=32, aa_jitter=False)
     looper = jnp.uint32(3)
+
+    # kernel G: the streaming hit loop (frustum-culled front-to-back
+    # cluster lists) must reproduce the resident brute loop
     gb = _gb_pack(scene, cam, cfg, looper)
+    with monkeypatch.context() as mp:
+        mp.setattr(fk, "_RESIDENT_MAX_TRIS", 10 ** 9)
+        fk.gbuffer_pack_pallas.clear_cache()
+        gb_res = _gb_pack(scene, cam, cfg, looper)
+    fk.gbuffer_pack_pallas.clear_cache()
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_res),
+                               rtol=2e-4, atol=1e-5)
     rng = np.random.default_rng(11)
     prev = jnp.asarray(
         np.abs(rng.normal(size=(fk.PT_CH, cfg.num_pixels))).astype(

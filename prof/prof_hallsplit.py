@@ -66,6 +66,7 @@ def main():
         scene.light_verts, scene.light_normal, scene.light_radiance,
         scene.light_area, scene.light_center, scene.light_radius,
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         temporal=True, temporal_clamp=cfg.temporal_clamp)
     print("R total:", round(timeit(reuse_fn), 1))
@@ -124,25 +125,27 @@ def main():
             o3c + w3 + [limit, gb[fk.G_PRIM].reshape(-1),
                         live.astype(jnp.float32)], axis=0)
         rp = jnp.take(rp, perm, axis=1)
-        vcounts, vids, v_kp = fk._sorted_cluster_lists(
-            rp[fk.RP_O:fk.RP_O + 3].T, rp[fk.RP_D:fk.RP_D + 3].T,
+        vcounts, vids, v_kp = fk._sub_block_lists(
+            rp[fk.RP_O:fk.RP_O + 3], rp[fk.RP_D:fk.RP_D + 3],
             rp[fk.RP_LIM], rp[fk.RP_LIVE] > 0.5, fk._TILE,
-            scene.cluster_lo, scene.cluster_hi)
+            scene.sub_lo, scene.sub_hi)
         return vcounts, vids, rp.reshape(fk.RP_CH, g, 128), inv_perm
 
     glue_j = jax.jit(glue)
     print("glue (sort+lists):", round(timeit(lambda: glue_j()[1]), 1))
     vcounts, vids, rp, inv_perm = glue_j()
-    v_kp = fk._round_up(scene.cluster_lo.shape[0], 1024)
+    v_kp = fk._round_up(scene.sub_lo.shape[0], 1024)
 
     n_tri = scene.tri_xform.shape[1] // 3
     nb = 128
     n_pad = fk._round_up(max(n_tri, nb), nb)
     xu, xv, xw = fk._split_planes(scene.tri_xform, n_pad)
     xplanes = jnp.concatenate(
-        [xu, xv, xw, jnp.zeros((4, n_pad), xu.dtype)], axis=0)
+        [jnp.concatenate(
+            [xu, xv, xw, jnp.zeros((116, n_pad), xu.dtype)], axis=0).T,
+         jnp.zeros((32, 128), xu.dtype)], axis=0)
 
-    vk = functools.partial(fk._vis_sorted_kernel, nb=nb)
+    vk = fk._vis_sorted_kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -157,8 +160,8 @@ def main():
         scratch_shapes=[
             pltpu.SMEM((v_kp,), jnp.int32),
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((2, 16, 2 * nb), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 256, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
         ],
     )
     vis_fn = jax.jit(lambda: pl.pallas_call(

@@ -83,6 +83,7 @@ def main():
         scene.light_verts, scene.light_normal, scene.light_radiance,
         scene.light_area, scene.light_center, scene.light_radius,
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         temporal=True, temporal_clamp=cfg.temporal_clamp)
     res["R_ms"] = timeit(lambda: fk.reuse_pallas(
@@ -90,6 +91,7 @@ def main():
         scene.light_verts, scene.light_normal, scene.light_radiance,
         scene.light_area, scene.light_center, scene.light_radius,
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         temporal=True, temporal_clamp=cfg.temporal_clamp))
 

@@ -51,6 +51,7 @@ def main():
             scene.light_verts, scene.light_normal, scene.light_radiance,
             scene.light_area, scene.light_center, scene.light_radius,
             scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            scene.sub_lo, scene.sub_hi,
             k=4, single_sided=True, temporal=temporal)
 
     # R1 alone: call the internal pieces via a custom jit
@@ -103,6 +104,7 @@ def main():
                         scene.light_radiance, scene.light_area,
                         scene.light_center, scene.light_radius,
                         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+                        scene.sub_lo, scene.sub_hi,
                         k=4, single_sided=True, nb=128, window=2048,
                         temporal=True, temporal_clamp=20,
                         interpret=False))), 2))

@@ -210,6 +210,7 @@ def main():
         scene.light_verts, scene.light_normal, scene.light_radiance,
         scene.light_area, scene.light_center, scene.light_radius,
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         temporal=True, temporal_clamp=cfg.temporal_clamp)
     sync(pt)
@@ -263,8 +264,8 @@ def main():
         o3c + w3 + [limit, gb[fk.G_PRIM].reshape(-1),
                     live.astype(jnp.float32)], axis=0)
     rp = jnp.take(rp, perm, axis=1)
-    vcounts, vids, v_kp = fk._sorted_cluster_lists(
-        rp[fk.RP_O:fk.RP_O + 3].T, rp[fk.RP_D:fk.RP_D + 3].T,
+    vcounts, vids, v_kp = fk._sub_block_lists(
+        rp[fk.RP_O:fk.RP_O + 3], rp[fk.RP_D:fk.RP_D + 3],
         rp[fk.RP_LIM], rp[fk.RP_LIVE] > 0.5, fk._TILE,
         scene.cluster_lo, scene.cluster_hi)
     rp = rp.reshape(fk.RP_CH, g, 128)

@@ -134,6 +134,7 @@ def step_fused(
         scene.light_verts, scene.light_normal, scene.light_radiance,
         scene.light_area, scene.light_center, scene.light_radius,
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
         temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
         temporal_clamp=cfg.temporal_clamp,

@@ -1308,18 +1308,28 @@ RP_CH = 9
 
 
 def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
-                       out_ref, vids_ref, ids_sem, xpb_ref, geo_sem,
-                       *, nb):
-    """Winner visibility (restir.cu:172-176) over WAVEFRONT-SORTED rays.
+                       out_ref, vids_ref, ids_sem, xpb_ref, geo_sem):
+    """Winner visibility (restir.cu:172-176) over WAVEFRONT-SORTED rays
+    with 32-tri SUB-BLOCK work lists.
 
     Rays are globally reordered by a (coarse origin, quantized
-    direction) key XLA-side, so the 1024 lockstep rays of a tile share
-    nearly the same cluster-crossing set: measured on the 81k-tri hall,
-    the per-tile list mean drops 240 -> 49 of 634 clusters (the per-ray
-    exact mean is 14), a ~5x cut in streamed cluster block tests — the
-    TPU answer to the reference's per-ray BVH any-hit walk
-    (scene.h:286-316). Outputs the occlusion flag per sorted ray;
-    temporal merge runs in a separate kernel in original pixel order."""
+    direction) key XLA-side so the 1024 lockstep rays of a tile share
+    nearly the same crossing set; the per-tile lists hold the 32-tri
+    sub-blocks some live ray truly crosses (~2x fewer tri*ray MXU
+    tests than 128-tri clusters, prof/prof_union.py) — the TPU answer
+    to the reference's per-ray BVH any-hit walk (scene.h:286-316).
+
+    Each iteration flushes EIGHT sub-blocks: their plane rows are
+    DMA-gathered along SUBLANES (tri-major [32, 16] slices of the
+    transposed plane table — lane starts must be 128-aligned, sublane
+    starts only 8-aligned) into one [256, 16] operand, and a single
+    block-diagonal dot computes all three plane projections at both
+    ray endpoints: [256, 16] @ [16, 6B] where the RHS carries the
+    (origin|direction) 4-vectors in sublane rows 0:4 / 4:8 / 8:12 of
+    its three lane thirds — 3 bf16 passes per flush instead of 9.
+    List tails are SENTINEL blocks (zero planes, always miss).
+    Outputs the occlusion flag per sorted ray; temporal merge runs in
+    a separate kernel in original pixel order."""
     cg = rp_ref.shape[1]
     b = cg * 128
     tile_id = pl.program_id(0)
@@ -1341,111 +1351,80 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
     prim_origin = ch(RP_PRIM).astype(jnp.int32)
     live = ch(RP_LIVE) > 0.5
 
-    # one [4, 2B] operand carries origin AND direction: each plane needs
-    # 3 dot passes instead of 6 (halved MXU dispatch per cluster pair)
-    od8 = jnp.concatenate([
-        jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0),
-        jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=0),
-    ], axis=1)
-    od8_split = _hi_lo(od8)
+    z = jnp.zeros_like(ox)
+    ones = jnp.ones_like(ox)
+
+    def od16(shift):
+        # [16, 2B]: rows shift:shift+4 carry (x, y, z, w) of the ray
+        # origin (first B lanes, w=1) and direction (last B, w=0)
+        pre, post = [z] * shift, [z] * (12 - shift)
+        o = jnp.stack(pre + [ox, oy, oz, ones] + post, axis=0)
+        d = jnp.stack(pre + [dx, dy, dz, z] + post, axis=0)
+        return jnp.concatenate([o, d], axis=1)
+
+    cat3 = jnp.concatenate([od16(0), od16(4), od16(8)], axis=1)  # [16, 6B]
+    # zero-pad the contraction dim to the full 128-lane LHS width (the
+    # MXU pads K to 128 either way — see the xplanes_t layout note)
+    cat3 = jnp.concatenate(
+        [cat3, jnp.zeros((112, cat3.shape[1]), cat3.dtype)], axis=0
+    )
+    cat3_split = _hi_lo(cat3)
     ids_dma.wait()
     vcount = vcounts_ref[tile_id]
+    nflush = (vcount + 7) // 8
 
-    # cluster PAIRS per iteration: the work lists are per-ray-exact
-    # (every listed cluster is truly crossed — _ray_cluster_crossing),
-    # so the old in-kernel AABB pretest almost never skips and only
-    # added ~1.5 us/cluster; pairing instead halves the DMA-sync and
-    # matmul dispatch counts. Odd tails re-test the list's first
-    # cluster (testing extra REAL geometry is always occlusion-correct).
-    pc = (vcount + 1) // 2  # pair count
+    def fetch(f, slot, wait):
+        for q in range(8):
+            blk = vids_ref[f * 8 + q]
+            cp = pltpu.make_async_copy(
+                xp_hbm_ref.at[pl.ds(pl.multiple_of(blk * 32, 32), 32), :],
+                xpb_ref.at[slot, 32 * q:32 * (q + 1), :],
+                geo_sem.at[slot, q],
+            )
+            cp.wait() if wait else cp.start()
 
-    def pair_ids(j):
-        c0 = vids_ref[2 * j]
-        c1 = vids_ref[jnp.minimum(2 * j + 1, jnp.maximum(vcount - 1, 0))]
-        return c0, c1
-
-    def vfetch(j, slot):
-        c0, c1 = pair_ids(j)
-        pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c0 * nb, nb), nb)],
-            xpb_ref.at[slot, :, 0:nb], geo_sem.at[slot, 0],
-        ).start()
-        pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c1 * nb, nb), nb)],
-            xpb_ref.at[slot, :, nb:2 * nb], geo_sem.at[slot, 1],
-        ).start()
-
-    def vfetch_wait(j, slot):
-        c0, c1 = pair_ids(j)
-        pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c0 * nb, nb), nb)],
-            xpb_ref.at[slot, :, 0:nb], geo_sem.at[slot, 0],
-        ).wait()
-        pltpu.make_async_copy(
-            xp_hbm_ref.at[:, pl.ds(pl.multiple_of(c1 * nb, nb), nb)],
-            xpb_ref.at[slot, :, nb:2 * nb], geo_sem.at[slot, 1],
-        ).wait()
-
-    @pl.when(pc > 0)
+    @pl.when(nflush > 0)
     def _():
-        vfetch(0, 0)
+        fetch(0, 0, False)
 
-    def vis_body(state):
-        i, _, occluded = state
-        c0, c1 = pair_ids(i)
-        slot = jax.lax.rem(i, 2)
+    def vis_body(f, occluded):
+        slot = jax.lax.rem(f, 2)
 
-        @pl.when(i + 1 < pc)
+        @pl.when(f + 1 < nflush)
         def _():
-            vfetch(i + 1, jax.lax.rem(i + 1, 2))
+            fetch(f + 1, jax.lax.rem(f + 1, 2), False)
 
-        vfetch_wait(i, slot)
+        fetch(f, slot, True)
 
-        xu = xpb_ref[slot, 0:4, :]  # [4, 2*nb]
-        xv = xpb_ref[slot, 4:8, :]
-        xw = xpb_ref[slot, 8:12, :]
-        odu = dot_f32x3(xu.T, None, b_split=od8_split)  # [2nb, 2B]
-        odv = dot_f32x3(xv.T, None, b_split=od8_split)
-        odw = dot_f32x3(xw.T, None, b_split=od8_split)
-        oou, ddu = odu[:, :b], odu[:, b:]
-        oov, ddv = odv[:, :b], odv[:, b:]
-        oow, ddw = odw[:, :b], odw[:, b:]
+        lhs = xpb_ref[slot]  # [256, 128] = 8 blocks x 32 tris, 12 planes
+        out3 = dot_f32x3(lhs, None, b_split=cat3_split)  # [256, 6B]
+        oou, ddu = out3[:, 0:b], out3[:, b:2 * b]
+        oov, ddv = out3[:, 2 * b:3 * b], out3[:, 3 * b:4 * b]
+        oow, ddw = out3[:, 4 * b:5 * b], out3[:, 5 * b:6 * b]
         nondeg = jnp.abs(ddw) >= 1e-12
         tt = -oow / jnp.where(nondeg, ddw, 1.0)
         uu = oou + tt * ddu
         vv = oov + tt * ddv
-        # self-exclusion via two 1-D relative ids (cheaper than a 2-D
-        # where-select of absolute triangle ids)
-        row = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, b), 0)
-        rel0 = prim_origin - c0 * nb
-        rel0 = jnp.where((rel0 >= 0) & (rel0 < nb), rel0, -1)
-        rel1 = prim_origin - c1 * nb + nb
-        rel1 = jnp.where((rel1 >= nb) & (rel1 < 2 * nb), rel1, -1)
+        # self-exclusion: each ray's origin triangle appears in at most
+        # one of the 8 (distinct) blocks -> one excluded row id per ray
+        exrow = jnp.full((b,), -1, jnp.int32)
+        for q in range(8):
+            blk = vids_ref[f * 8 + q]
+            rel = prim_origin - blk * 32
+            exrow = jnp.where((rel >= 0) & (rel < 32), rel + 32 * q, exrow)
+        row = jax.lax.broadcasted_iota(jnp.int32, (256, b), 0)
         blocked = (
             nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0)
             & (uu + vv <= 1.0)
             & (tt < limit[None, :])
-            & (row != rel0[None, :]) & (row != rel1[None, :])
+            & (row != exrow[None, :])
         )
-        occluded = jnp.maximum(
+        return jnp.maximum(
             occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
         )
-        # any-hit early exit: stop once every lane that needed a shadow
-        # ray is occluded (lanes with no ray start pre-occluded)
-        done = (i + 1 >= pc) | (jnp.min(occluded) > 0.5)
-        return (i + 1, done, occluded)
 
     occ0 = jnp.where(~live, 1.0, 0.0)
-    v_done, _, occluded = jax.lax.while_loop(
-        lambda st: jnp.logical_not(st[1]),
-        vis_body,
-        (jnp.int32(0), (pc <= 0) | (jnp.min(occ0) > 0.5), occ0),
-    )
-
-    @pl.when((v_done > 0) & (v_done < pc))
-    def _():
-        vfetch_wait(v_done, jax.lax.rem(v_done, 2))
-
+    occluded = jax.lax.fori_loop(0, nflush, vis_body, occ0)
     out_ref[0, :, :] = occluded.reshape(cg, 128)
 
 
@@ -1725,11 +1704,12 @@ def _ray_cluster_crossing(o3, d3, tmax, live, tile, cluster_lo, cluster_hi,
         t_near = jnp.full((br, kz), -3e38, jnp.float32)
         t_far = jnp.full((br, kz), 3e38, jnp.float32)
         for ax in range(3):
-            phi = jnp.stack([inv[:, ax], -o_b[:, ax] * inv[:, ax]], axis=1)
-            psi_lo = jnp.stack([lo[:, ax], jnp.ones(kz)], axis=1)
-            psi_hi = jnp.stack([hi[:, ax], jnp.ones(kz)], axis=1)
-            t1 = phi @ psi_lo.T  # [br, K]
-            t2 = phi @ psi_hi.T
+            # explicit broadcast FMAs (see _ray_cluster_crossing_rows:
+            # the dot form may lower to MXU convs whose [br, K] outputs
+            # spill to HBM)
+            o_inv = -o_b[:, ax] * inv[:, ax]
+            t1 = inv[:, ax, None] * lo[None, :, ax] + o_inv[:, None]
+            t2 = inv[:, ax, None] * hi[None, :, ax] + o_inv[:, None]
             t_near = jnp.maximum(t_near, jnp.minimum(t1, t2))
             t_far = jnp.minimum(t_far, jnp.maximum(t1, t2))
         cross = (
@@ -1772,32 +1752,87 @@ def _wavefront_perm(o3, d3, live, cluster_lo, cluster_hi):
     return perm, inv
 
 
-def _sorted_cluster_lists(o3, d3, tmax, live, tile, cluster_lo, cluster_hi):
-    """Per-tile shadow-ray cluster work lists over SORTED rays:
-    per-ray-exact crossing (_ray_cluster_crossing) + FRONT-TO-BACK
-    ordering along the tile's mean ray, so the any-hit early exit in
-    _vis_sorted_kernel stops at the nearest occluder — the ordered
-    traversal the reference's BVH walk gets from its near-child-first
-    stack (scene.h:286-316). Returns (counts [T], ids flat, kp)."""
-    overlap = _ray_cluster_crossing(
-        o3, d3, tmax, live, tile, cluster_lo, cluster_hi
-    )  # [T, K]
-    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
+def _ray_cluster_crossing_rows(o3r, d3r, tmax, live, tile, blo, bhi):
+    """_ray_cluster_crossing with CHANNEL-ROW ray inputs ([3, R]).
 
-    n_t = overlap.shape[0]
-    lw = live.reshape(n_t, tile).astype(jnp.float32)
-    denom = jnp.maximum(jnp.sum(lw, axis=1, keepdims=True), 1.0)
-    o_mean = jnp.einsum("tr,trc->tc", lw, o3.reshape(n_t, tile, 3)) / denom
-    d_mean = jnp.einsum("tr,trc->tc", lw, d3.reshape(n_t, tile, 3)) / denom
-    centers = 0.5 * (cluster_lo + cluster_hi).astype(jnp.float32)  # [K, 3]
-    proj = d_mean @ centers.T - jnp.sum(d_mean * o_mean, 1, keepdims=True)
-    ids = jnp.argsort(
-        jnp.where(overlap, proj, jnp.float32(3e38)), axis=1
-    ).astype(jnp.int32)
+    Same banded per-ray-exact slab test, but every per-axis access is a
+    contiguous 1-D row instead of a strided column of an [R, 3] view:
+    inside the fused reuse jit the transposed form made XLA fuse
+    strided rp[...].T reads into every band of the [rays, S] test,
+    measured 225 ms vs 58 ms isolated on the 81k-tri hall at S=2536.
+    Returns any[T, S] bool."""
+    r = o3r.shape[1]
+    n_t = r // tile
+    kz = blo.shape[0]
+    lo = blo.astype(jnp.float32)
+    hi = bhi.astype(jnp.float32)
+
+    band = max(1, min(n_t, 8))
+    while n_t % band:
+        band -= 1
+    nb_t = n_t // band
+    br = band * tile
+
+    def per_band(args):
+        o_b, d_b, tm_b, lv_b = args  # o_b, d_b: [3, br]
+        tiny = 1e-12
+        t_near = jnp.full((br, kz), -3e38, jnp.float32)
+        t_far = jnp.full((br, kz), 3e38, jnp.float32)
+        for ax in range(3):
+            d_ax = d_b[ax]
+            inv = 1.0 / jnp.where(jnp.abs(d_ax) < tiny, tiny, d_ax)
+            o_inv = -o_b[ax] * inv
+            # EXPLICIT broadcast FMAs, not a [br,2]@[2,K] dot: left as
+            # a dot, XLA (context-dependently) lowers it to MXU
+            # convolutions whose [br, K] f32 outputs spill to HBM —
+            # measured 225 ms vs 58 ms for the same math fused on the
+            # VPU (hall, S=2536)
+            t1 = inv[:, None] * lo[None, :, ax] + o_inv[:, None]
+            t2 = inv[:, None] * hi[None, :, ax] + o_inv[:, None]
+            t_near = jnp.maximum(t_near, jnp.minimum(t1, t2))
+            t_far = jnp.minimum(t_far, jnp.maximum(t1, t2))
+        cross = (
+            (t_far >= t_near) & (t_far >= 0.0)
+            & (t_near <= tm_b[:, None])
+            & lv_b[:, None]
+        )
+        return jnp.any(cross.reshape(band, tile, kz), axis=1)
+
+    inputs = (
+        jnp.moveaxis(o3r.reshape(3, nb_t, br), 1, 0),
+        jnp.moveaxis(d3r.reshape(3, nb_t, br), 1, 0),
+        tmax.reshape(nb_t, br), live.reshape(nb_t, br),
+    )
+    any_cross = jax.lax.map(per_band, inputs)  # [nb_t, band, K]
+    return any_cross.reshape(n_t, kz)
+
+
+def _sub_block_lists(o3r, d3r, tmax, live, tile, sub_lo, sub_hi):
+    """Per-tile shadow-ray work lists over SORTED rays at 32-tri
+    SUB-BLOCK granularity: per-ray-exact crossing
+    (_ray_cluster_crossing_rows vs the 4-per-cluster sub-AABBs; ray
+    inputs are CHANNEL ROWS [3, R]) cuts the MXU tri*ray tests ~2x vs
+    whole clusters on the 81k-tri hall (prof/prof_union.py: 12.9G ->
+    6.38G). Unordered (the front-to-back any-hit early exit measured a
+    net loss at this granularity — prof/prof_vissplit: noexit 383 vs
+    full 390 ms); entries beyond the count are a SENTINEL block of
+    zero planes (always-miss). Returns (counts [T], ids flat i32,
+    kp)."""
+    overlap = _ray_cluster_crossing_rows(
+        o3r, d3r, tmax, live, tile, sub_lo, sub_hi
+    )  # [T, S]
+    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    s = overlap.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 1)
+    key = jnp.where(overlap, idx, jnp.int32(0x7FFFFFFF))
+    ids = jnp.argsort(key, axis=1).astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
+    ids = jnp.where(pos < counts[:, None], ids, jnp.int32(s))
     kp = _round_up(ids.shape[1], 1024)
     if kp != ids.shape[1]:
         ids = jnp.concatenate(
-            [ids, jnp.zeros((ids.shape[0], kp - ids.shape[1]), jnp.int32)], 1
+            [ids,
+             jnp.full((ids.shape[0], kp - ids.shape[1]), s, jnp.int32)], 1
         )
     return counts, ids.reshape(-1), kp
 
@@ -1809,6 +1844,7 @@ def reuse_pallas(
     gb_pack, prev_pack, looper,
     light_verts, light_normal, light_radiance, light_area, light_center,
     light_radius, tri_xform, cluster_lo, cluster_hi,
+    sub_lo=None, sub_hi=None,
     k: int = 4, single_sided: bool = True, nb: int = 128,
     window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
     has_env: bool = False, env_tile_rad=None, env_tile_uv=None,
@@ -1847,9 +1883,21 @@ def reuse_pallas(
     n_tri = tri_xform.shape[1] // 3
     n_pad = _round_up(max(n_tri, nb), nb)
     xu, xv, xw = _split_planes(tri_xform, n_pad)
-    xplanes = jnp.concatenate(
-        [xu, xv, xw, jnp.zeros((4, n_pad), xu.dtype)], axis=0
-    )  # [16, n_pad] (HBM; padded to an (8,128)-aligned sublane count)
+    # TRANSPOSED plane table [n_pad + 32, 128] (tri-major rows; cols
+    # 0:4 xu, 4:8 xv, 8:12 xw, 12:128 zero): the vis kernel DMA-gathers
+    # 32-tri sub-blocks along SUBLANES as full-lane-width [32, 128]
+    # slices (HBM lane slices must be 128-aligned AND 128-wide — Mosaic
+    # pads the trailing dim to the tile anyway, so the zero lanes cost
+    # nothing but HBM bytes), and feeds the whole [256, 128] buffer as
+    # the matmul LHS against a K=128 zero-padded RHS — identical MXU
+    # passes, since K<128 contractions pad to 128 regardless. The final
+    # 32 zero rows are the SENTINEL always-miss block padding work-list
+    # tails.
+    xplanes_t = jnp.concatenate(
+        [jnp.concatenate(
+            [xu, xv, xw, jnp.zeros((116, n_pad), xu.dtype)], axis=0).T,
+         jnp.zeros((32, 128), xu.dtype)], axis=0,
+    )
     n_tiles = r // _TILE
     tg = _TILE // 128
     full_p = lambda i, *_: (0, 0)  # noqa: E731
@@ -1901,11 +1949,12 @@ def reuse_pallas(
             o3c + w3 + [limit, gb_pack[G_PRIM].reshape(-1),
                         live.astype(jnp.float32)], axis=0)  # [RP_CH, R]
         rp = jnp.take(rp, perm, axis=1)
+        rp = jax.lax.optimization_barrier(rp)
         # limit as the crossing tmax is exact: a blocking triangle at
-        # tt < limit lies inside its cluster AABB, so t_near <= tt
-        vcounts, vids, v_kp = _sorted_cluster_lists(
-            rp[RP_O:RP_O + 3].T, rp[RP_D:RP_D + 3].T, rp[RP_LIM],
-            rp[RP_LIVE] > 0.5, _TILE, cluster_lo, cluster_hi
+        # tt < limit lies inside its sub-block AABB, so t_near <= tt
+        vcounts, vids, v_kp = _sub_block_lists(
+            rp[RP_O:RP_O + 3], rp[RP_D:RP_D + 3], rp[RP_LIM],
+            rp[RP_LIVE] > 0.5, _TILE, sub_lo, sub_hi
         )
         rp = rp.reshape(RP_CH, g, 128)
     motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
@@ -1962,8 +2011,7 @@ def reuse_pallas(
         )(w0, gb_pack, rs, xu_r, xv_r, xw_r, prev_pack, _lp2(looper, pix0))
 
     # ---- kernel R2a: wavefront-sorted winner visibility (streams only
-    # the clusters the tile's coherent rays truly cross, front-to-back)
-    vk = functools.partial(_vis_sorted_kernel, nb=nb)
+    # the 32-tri sub-blocks the tile's coherent rays truly cross)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -1979,19 +2027,19 @@ def reuse_pallas(
         scratch_shapes=[
             pltpu.SMEM((v_kp,), jnp.int32),
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((2, 16, 2 * nb), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 256, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
         ],
     )
     occ_s = pl.pallas_call(
-        vk,
+        _vis_sorted_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(vcounts, vids, rp, xplanes)
+    )(vcounts, vids, rp, xplanes_t)
     occ = jnp.take(occ_s.reshape(-1), inv_perm).reshape(1, g, 128)
 
     # ---- kernel R2b: temporal merge in original pixel order

@@ -103,6 +103,7 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
             scene.light_verts, scene.light_normal, scene.light_radiance,
             scene.light_area, scene.light_center, scene.light_radius,
             scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            scene.sub_lo, scene.sub_hi,
             k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
             window=window,
             temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),

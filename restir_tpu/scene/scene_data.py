@@ -96,6 +96,10 @@ class SceneData(NamedTuple):
     # compact; kernels cull whole clusters per ray tile
     cluster_lo: jnp.ndarray
     cluster_hi: jnp.ndarray
+    # 32-tri sub-block AABBs ([K * 4, 3]): shadow-vis work-list
+    # granularity (empty boxes +/-inf for fully-padded blocks)
+    sub_lo: jnp.ndarray
+    sub_hi: jnp.ndarray
     # materials, [M]
     mat_type: jnp.ndarray  # [M] int32
     mat_base_color: jnp.ndarray  # [M, 3]
@@ -167,6 +171,9 @@ BRUTE_FORCE_MAX_PRIMS = 16384
 # triangles per cluster — one MXU brute-force block per cluster (the
 # fused kernels' tri blocks are CLUSTER_SIZE wide)
 CLUSTER_SIZE = 128
+# 32-tri sub-blocks within a cluster: the shadow-vis work-list
+# granularity (scene-side AABBs; 4 per cluster)
+SUB_BLOCK = 32
 
 
 def _morton_order(centroids: np.ndarray) -> np.ndarray:
@@ -422,6 +429,18 @@ def build_scene(
     hi_pad = np.concatenate([flat_v, np.full((pad * 3, 3), -np.inf, np.float32)])
     cluster_lo = lo_pad.reshape(n_clusters, CLUSTER_SIZE * 3, 3).min(axis=1)
     cluster_hi = hi_pad.reshape(n_clusters, CLUSTER_SIZE * 3, 3).max(axis=1)
+    # 32-tri sub-block AABBs (4 per cluster, same Morton order): the
+    # shadow-vis kernel streams work lists at this finer granularity —
+    # measured 2x fewer tri*ray MXU tests than whole clusters on the
+    # 81k-tri hall (prof/prof_union.py). Padded tris make empty boxes.
+    n_sub = n_clusters * (CLUSTER_SIZE // SUB_BLOCK)
+    sub_lo = lo_pad.reshape(n_sub, SUB_BLOCK * 3, 3).min(axis=1)
+    sub_hi = hi_pad.reshape(n_sub, SUB_BLOCK * 3, 3).max(axis=1)
+    # fully-padded blocks: +/-inf boxes would pass the slab crossing as
+    # (-inf, +inf) intervals — collapse them to a far degenerate point
+    empty = sub_lo[:, 0] > sub_hi[:, 0]
+    sub_lo = np.where(empty[:, None], np.float32(3e37), sub_lo)
+    sub_hi = np.where(empty[:, None], np.float32(3e37), sub_hi)
 
     # --- light + env alias tables (createLightSampler, scene.cpp:136-157)
     powers = list(light_power)
@@ -527,6 +546,8 @@ def build_scene(
         mat_attr=jnp.asarray(mat_attr),
         cluster_lo=jnp.asarray(cluster_lo.astype(np.float32)),
         cluster_hi=jnp.asarray(cluster_hi.astype(np.float32)),
+        sub_lo=jnp.asarray(sub_lo.astype(np.float32)),
+        sub_hi=jnp.asarray(sub_hi.astype(np.float32)),
         mat_type=mat_arr(lambda m: m.type, np.int32),
         mat_base_color=mat_arr(lambda m: m.base_color, np.float32),
         mat_metallic=mat_arr(lambda m: m.metallic, np.float32),

@@ -144,6 +144,7 @@ def test_env_reuse_kernel_matches_general(scene_cam, monkeypatch):
             scene.light_verts, scene.light_normal, scene.light_radiance,
             scene.light_area, scene.light_center, scene.light_radius,
             scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            scene.sub_lo, scene.sub_hi,
             k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
             temporal=True, temporal_clamp=cfg.temporal_clamp,
             has_env=True, env_tile_rad=scene.env_tile_rad,

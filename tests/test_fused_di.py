@@ -148,6 +148,7 @@ def test_reuse_kernel_matches_general_ris_and_temporal(scene_cam, monkeypatch):
             scene.light_verts, scene.light_normal, scene.light_radiance,
             scene.light_area, scene.light_center, scene.light_radius,
             scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            scene.sub_lo, scene.sub_hi,
             k=cfg.cdf_candidates,
             single_sided=cfg.single_sided_lights,
             temporal=True, temporal_clamp=cfg.temporal_clamp,
@@ -252,6 +253,7 @@ def test_streaming_reuse_matches_resident(monkeypatch):
             scene.light_verts, scene.light_normal, scene.light_radiance,
             scene.light_area, scene.light_center, scene.light_radius,
             scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            scene.sub_lo, scene.sub_hi,
             k=4, single_sided=cfg.single_sided_lights,
             temporal=True, temporal_clamp=cfg.temporal_clamp,
             interpret=True,

@@ -1949,7 +1949,6 @@ def reuse_pallas(
             o3c + w3 + [limit, gb_pack[G_PRIM].reshape(-1),
                         live.astype(jnp.float32)], axis=0)  # [RP_CH, R]
         rp = jnp.take(rp, perm, axis=1)
-        rp = jax.lax.optimization_barrier(rp)
         # limit as the crossing tmax is exact: a blocking triangle at
         # tt < limit lies inside its sub-block AABB, so t_near <= tt
         vcounts, vids, v_kp = _sub_block_lists(

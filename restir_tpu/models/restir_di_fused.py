@@ -44,19 +44,6 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     from ..ops.intersect import _on_tpu
     from ..models.restir_di import resolve_ris_mode
 
-    import numpy as np
-
-    if cfg.with_textures:
-        # base-color textures run in-kernel (mip-clamped atlas);
-        # metallic/roughness/normal MAPS still need the general path
-        has_aux_maps = (
-            int(np.max(np.asarray(scene.mat_metallic_map))) >= 0
-            or int(np.max(np.asarray(scene.mat_roughness_map))) >= 0
-            or int(np.max(np.asarray(scene.mat_normal_map))) >= 0
-        )
-        if has_aux_maps:
-            return False
-
     return (
         cfg.tracer == TracerType.RESTIR_DI
         and _on_tpu()

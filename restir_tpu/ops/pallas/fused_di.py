@@ -345,6 +345,86 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     oh_mat = (mrow == mat_id[None, :]).astype(jnp.float32)
     matp = dot_exact_b(mat_ref[:, :], oh_mat)  # [MAT_COLS, B]
 
+    metallic = matp[4]
+    roughness = matp[5]
+    if tex_refs is not None:
+        # metallic / roughness / normal MAPS (getTexturedMaterialAndSurface,
+        # scene.h:86-97): fetched from the same mip-clamped atlas. One
+        # per-tile cond skips all three fetches (2 one-hot row matmuls
+        # each) when no hit lane references an aux map, so untextured-
+        # aux scenes pay ~0.4 us/tile. The normal remap happens HERE —
+        # before the front-face/single-sided logic — mirroring
+        # ops/primary.trace_primary, which replaces it.norm before the
+        # gbuffer consumes it.
+        atlas_ref, meta_ref = tex_refs
+        t_pad = meta_ref.shape[1]
+        trow = jax.lax.broadcasted_iota(jnp.int32, (t_pad, b), 0)
+        u_uv = at[18] + u * at[20] + v * at[22]
+        v_uv = at[19] + u * at[21] + v * at[23]
+        met_id, rough_id, nrm_id = matp[8], matp[9], matp[10]
+        need_aux = (
+            jnp.max(jnp.where(
+                valid0,
+                jnp.maximum(jnp.maximum(met_id, rough_id), nrm_id),
+                -1.0,
+            )) > -0.5
+        )
+
+        def fetch_aux(tid):
+            oh_t = (
+                trow == jnp.maximum(tid, 0.0).astype(jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            tm = dot_exact_b(meta_ref[:, :], oh_t)  # [8, B]
+            return _tex_bilinear(
+                atlas_ref,
+                (tm[0], jnp.maximum(tm[1], 1.0), jnp.maximum(tm[2], 1.0)),
+                u_uv, v_uv,
+            )
+
+        def with_aux(carry):
+            met, rough, nx0, ny0, nz0 = carry
+            m_rgb = fetch_aux(met_id)
+            met = jnp.where(met_id > -0.5, m_rgb[0], met)
+            r_rgb = fetch_aux(rough_id)
+            rough = jnp.where(rough_id > -0.5, r_rgb[0], rough)
+            n_rgb = fetch_aux(nrm_id)
+            # local_to_world(norm, safe_normalize(texel - 0.5)) in 1-D
+            # channels (utils/math.py:196-219 conventions)
+            vx0 = n_rgb[0] - 0.5
+            vy0 = n_rgb[1] - 0.5
+            vz0 = n_rgb[2] - 0.5
+            vinv = 1.0 / jnp.maximum(
+                jnp.sqrt(vx0 * vx0 + vy0 * vy0 + vz0 * vz0), 1e-20
+            )
+            vx0, vy0, vz0 = vx0 * vinv, vy0 * vinv, vz0 * vinv
+            usez = jnp.abs(ny0) > 0.9999  # helper = z-axis near poles
+            bx = jnp.where(usez, ny0, -nz0)
+            by = jnp.where(usez, -nx0, 0.0)
+            bz = jnp.where(usez, 0.0, nx0)
+            binv = 1.0 / jnp.maximum(
+                jnp.sqrt(bx * bx + by * by + bz * bz), 1e-20
+            )
+            bx, by, bz = bx * binv, by * binv, bz * binv
+            tx = by * nz0 - bz * ny0
+            ty = bz * nx0 - bx * nz0
+            tz = bx * ny0 - by * nx0
+            rx = tx * vx0 + bx * vy0 + nx0 * vz0
+            ry = ty * vx0 + by * vy0 + ny0 * vz0
+            rz = tz * vx0 + bz * vy0 + nz0 * vz0
+            rinv = 1.0 / jnp.maximum(
+                jnp.sqrt(rx * rx + ry * ry + rz * rz), 1e-20
+            )
+            remap = nrm_id > -0.5
+            nx1 = jnp.where(remap, rx * rinv, nx0)
+            ny1 = jnp.where(remap, ry * rinv, ny0)
+            nz1 = jnp.where(remap, rz * rinv, nz0)
+            return met, rough, nx1, ny1, nz1
+
+        metallic, roughness, nxp, nyp, nzp = jax.lax.cond(
+            need_aux, with_aux, lambda c: c,
+            (metallic, roughness, nxp, nyp, nzp),
+        )
+
     mtype = matp[0]
     is_light = valid0 & (mtype == _LIGHT)
     ndotd = nxp * dx + nyp * dy + nzp * dz
@@ -416,20 +496,9 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     if tex_refs is not None:
         # textured base color (getTexturedMaterialAndSurface,
         # scene.h:78-99): bilinear atlas fetch + procedural option
-        atlas_ref, meta_ref = tex_refs
+        # (u_uv/v_uv/trow computed above with the aux-map fetches)
         tid = matp[7]  # base map id (-1 none, -2 procedural)
-        t_pad = meta_ref.shape[1]
-        trow = jax.lax.broadcasted_iota(jnp.int32, (t_pad, b), 0)
-        oh_t = (trow == jnp.maximum(tid, 0.0).astype(jnp.int32)[None, :]
-                ).astype(jnp.float32)
-        tm = dot_exact_b(meta_ref[:, :], oh_t)  # [8, B]
-        u_uv = at[18] + u * at[20] + v * at[22]
-        v_uv = at[19] + u * at[21] + v * at[23]
-        tex_rgb = _tex_bilinear(
-            atlas_ref,
-            (tm[0], jnp.maximum(tm[1], 1.0), jnp.maximum(tm[2], 1.0)),
-            u_uv, v_uv,
-        )
+        tex_rgb = fetch_aux(tid)
         proc = _procedural_tex(u_uv, v_uv)
         use_tex = tid > -0.5
         use_proc = (tid > -2.5) & (tid < -1.5)
@@ -453,8 +522,8 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     put(G_MOTION, motion)
     put(G_PRIMR, prim_remap)
     put(G_MTYPE, mtype)
-    put(G_METAL, matp[4])
-    put(G_ROUGH, matp[5])
+    put(G_METAL, metallic)
+    put(G_ROUGH, roughness)
     put(G_SHADE, shade.astype(jnp.float32))
     put(G_LIGHT, is_light.astype(jnp.float32))
     put(G_MISS, (~valid).astype(jnp.float32))

@@ -224,11 +224,16 @@ def env_scene(
     return scene, camera_kwargs
 
 
-def textured_scene(seed: int = 5, bvh_impl: str = "auto"):
+def textured_scene(seed: int = 5, bvh_impl: str = "auto",
+                   aux_maps: bool = False):
     """Closed room with base-color-textured floor/wall, a procedural-
     textured block, and two area lights. Textures are <= 128 px wide so
     the fused mip-clamped atlas stores them exactly (bit-comparable to
-    the general path's bilinear fetch)."""
+    the general path's bilinear fetch).
+
+    `aux_maps` adds a metallic-workflow ceiling with metallic +
+    roughness maps and a normal-mapped right wall (scene.h:86-97
+    coverage for the fused-path parity tests)."""
     rng = np.random.default_rng(seed)
     E, H = 6.0, 5.0
 
@@ -242,6 +247,31 @@ def textured_scene(seed: int = 5, bvh_impl: str = "auto"):
     tex1 = np.stack([0.3 + 0.5 * gx, 0.3 + 0.5 * gy,
                      0.8 - 0.5 * gx * gy], axis=-1).astype(np.float32)
 
+    textures = [tex0, tex1]
+    ceil_mat = MaterialDesc(type=LAMBERTIAN, base_color=(0.5, 0.5, 0.55))
+    wall_mat = ceil_mat
+    if aux_maps:
+        # texture 2: metallic/roughness in channel 0 (stripes); texture
+        # 3: tangent-space normal map (bumpy around (0.5, 0.5, 1.0))
+        sy, sx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        stripes = ((sx // 8) % 2).astype(np.float32) * 0.8 + 0.1
+        tex2 = np.stack([stripes, 0.3 + 0.0 * stripes,
+                         0.7 + 0.0 * stripes], axis=-1)
+        by, bx = np.meshgrid(np.linspace(0, 4 * np.pi, 64),
+                             np.linspace(0, 4 * np.pi, 64), indexing="ij")
+        nx = 0.3 * np.sin(bx)
+        ny = 0.3 * np.sin(by)
+        nz = np.sqrt(np.maximum(1.0 - nx * nx - ny * ny, 0.0))
+        tex3 = np.stack([nx * 0.5 + 0.5, ny * 0.5 + 0.5,
+                         nz * 0.5 + 0.5], axis=-1).astype(np.float32)
+        textures += [tex2, tex3]
+        ceil_mat = MaterialDesc(
+            type=METALLIC_WORKFLOW, base_color=(0.7, 0.65, 0.6),
+            metallic_map=2, roughness_map=2,
+        )
+        wall_mat = MaterialDesc(
+            type=LAMBERTIAN, base_color=(0.5, 0.5, 0.55), normal_map=3,
+        )
     materials = [
         MaterialDesc(type=LAMBERTIAN, base_map=0),  # textured floor
         MaterialDesc(type=LAMBERTIAN, base_map=1),  # textured back wall
@@ -249,6 +279,8 @@ def textured_scene(seed: int = 5, bvh_impl: str = "auto"):
         MaterialDesc(type=LAMBERTIAN, base_map=PROCEDURAL_TEXTURE),
         MaterialDesc(type=LIGHT, base_color=(14.0, 12.0, 10.0)),
         MaterialDesc(type=LIGHT, base_color=(6.0, 8.0, 12.0)),
+        ceil_mat,  # 6: ceiling (metallic/roughness maps when aux_maps)
+        wall_mat,  # 7: right wall (normal map when aux_maps)
     ]
     instances = []
 
@@ -258,9 +290,9 @@ def textured_scene(seed: int = 5, bvh_impl: str = "auto"):
 
     add_quad([-E, 0, E], [E, 0, E], [E, 0, -E], [-E, 0, -E], 0)  # floor
     add_quad([-E, 0, -E], [E, 0, -E], [E, H, -E], [-E, H, -E], 1)  # back
-    add_quad([-E, H, -E], [E, H, -E], [E, H, E], [-E, H, E], 2)  # ceiling
+    add_quad([-E, H, -E], [E, H, -E], [E, H, E], [-E, H, E], 6)  # ceiling
     add_quad([-E, 0, E], [-E, 0, -E], [-E, H, -E], [-E, H, E], 2)  # left
-    add_quad([E, 0, -E], [E, 0, E], [E, H, E], [E, H, -E], 2)  # right
+    add_quad([E, 0, -E], [E, 0, E], [E, H, E], [E, H, -E], 7)  # right
 
     cube_v, cube_n, cube_t = cube_mesh(0.5)
     instances.append(
@@ -274,7 +306,7 @@ def textured_scene(seed: int = 5, bvh_impl: str = "auto"):
         add_quad([cx - s, y, cz - s], [cx + s, y, cz - s],
                  [cx + s, y, cz + s], [cx - s, y, cz + s], 4 + i)
 
-    scene = build_scene(instances, materials, textures=[tex0, tex1],
+    scene = build_scene(instances, materials, textures=textures,
                         bvh_impl=bvh_impl)
     camera_kwargs = dict(
         position=(0.0, 2.5, 7.0),

@@ -131,3 +131,64 @@ def test_textured_fused_step_statistical(scene_cam, monkeypatch):
     assert abs(img_fused.mean() - ref) / max(ref, 1e-9) < 0.05, (
         img_fused.mean(), ref
     )
+
+
+@pytest.fixture(scope="module")
+def aux_scene_cam():
+    scene, camkw = procedural.textured_scene(bvh_impl="numpy",
+                                             aux_maps=True)
+    return scene, make_camera(**camkw)
+
+
+def test_aux_maps_eligibility(aux_scene_cam, monkeypatch):
+    """Metallic/roughness/normal-mapped scenes run the fused path."""
+    scene, cam = aux_scene_cam
+    cfg = _cfg()
+    from restir_tpu.ops import intersect as ix
+    monkeypatch.setattr(ix, "_on_tpu", lambda: True)
+    assert restir_di_fused.eligible(scene, cfg)
+
+
+def test_aux_maps_gbuffer_matches_general(aux_scene_cam):
+    """In-kernel metallic/roughness-map fetch + normal remap vs the
+    general path (ops/primary.trace_primary), lane-for-lane."""
+    scene, cam = aux_scene_cam
+    cfg = _cfg(aa_jitter=False)
+    looper = jnp.uint32(3)
+
+    gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+    cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
+    pack = fk.gbuffer_pack_pallas(
+        cam_vec, cam_vec, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
+        width=cfg.width, height=cfg.height, aa_jitter=False,
+        single_sided=cfg.single_sided_lights,
+        with_textures=True, fused_atlas=scene.fused_atlas,
+        fused_tex_meta=scene.fused_tex_meta, interpret=True,
+    )
+
+    prim_ref = np.asarray(gb.prim_id)
+    prim_got = _ch(pack, fk.G_PRIMR).astype(np.int32)
+    ok = (prim_ref == prim_got) & (prim_ref >= 0)
+    assert ok.mean() > 0.98
+
+    met_ref = np.asarray(mat.metallic)[ok]
+    met_got = _ch(pack, fk.G_METAL)[ok]
+    close = np.isclose(met_ref, met_got, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.98, close.mean()
+    # the metallic map must actually vary (stripes)
+    assert met_got.std() > 0.05
+
+    rough_ref = np.asarray(mat.roughness)[ok]
+    rough_got = _ch(pack, fk.G_ROUGH)[ok]
+    close = np.isclose(rough_ref, rough_got, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.98, close.mean()
+
+    nrm_ref = np.asarray(it.norm)[ok]
+    nrm_got = _ch3(pack, fk.G_NORM)[ok]
+    close = np.isclose(nrm_ref, nrm_got, rtol=1e-3, atol=1e-4).all(axis=-1)
+    assert close.mean() > 0.98, close.mean()
+    # the normal-mapped wall's normals must actually be perturbed: the
+    # flat wall would otherwise contribute a CONSTANT normal, so any
+    # variation beyond the room's 6 flat planes shows the remap ran
+    assert len(np.unique(np.round(nrm_got, 3), axis=0)) > 16

@@ -53,6 +53,76 @@ def _p_hat_gi(sample: rsv.IndirectSample) -> jnp.ndarray:
     return mathx.luminance(sample.lo)
 
 
+def gi_fused_eligible(scene: SceneData, cfg: RenderConfig,
+                      r: int) -> bool:
+    """Static gate for the fused GI trace kernel
+    (ops/pallas/gi_kernel.py): VMEM-resident geometry, pcg4d streams,
+    no env map, no loaded textures (procedural base colors ARE
+    handled in-kernel), whole 1024-ray tiles."""
+    return (
+        cfg.sampler == "pcg4d"
+        and not cfg.has_env_map
+        and not cfg.with_textures
+        and scene.tex_data.shape[0] <= 1  # dummy [1, 3] when untextured
+        and scene.verts.shape[0] <= 1024
+        and r % 1024 == 0
+    )
+
+
+def trace_gi_sample_fused(
+    scene: SceneData,
+    it,
+    mat,
+    ray_dir,
+    cfg: RenderConfig,
+    looper,
+    pix0,
+    interpret: bool = False,
+):
+    """Fused-kernel twin of trace_gi_sample (lane-for-lane parity
+    asserted in tests/test_gi_fused.py). `pix0` is the global index of
+    the first ray (band slices are contiguous)."""
+    from ..ops.pallas import gi_kernel as gk
+
+    r = it.pos.shape[0]
+    alive = it.valid & (mat.type != LIGHT)
+    zeros = jnp.zeros((r,), jnp.float32)
+    rows = [
+        it.pos[:, 0], it.pos[:, 1], it.pos[:, 2],
+        it.norm[:, 0], it.norm[:, 1], it.norm[:, 2],
+        ray_dir[:, 0], ray_dir[:, 1], ray_dir[:, 2],
+        mat.type.astype(jnp.float32), mat.metallic, mat.roughness,
+        mat.ior, alive.astype(jnp.float32), zeros, zeros,
+    ]
+    in_pack = jnp.stack(rows, axis=0).reshape(gk.IN_CH, r // 128, 128)
+    out = gk.gi_trace_pallas(
+        in_pack, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, scene.light_prob, scene.light_alias,
+        scene.light_prim_ids, scene.light_radiance,
+        scene.sum_light_power_inv,
+        depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
+        n_lights=int(scene.light_prob.shape[0]), pix0=pix0,
+        interpret=interpret,
+    )
+
+    def ch3(i):
+        return jnp.stack(
+            [out[i + k].reshape(-1) for k in range(3)], axis=-1
+        )
+
+    lo = mathx.zero_nan_or_inf(ch3(gk.GO_LO))
+    xs = ch3(gk.GO_XS)
+    sample = rsv.IndirectSample(
+        lo=lo, xv=it.pos, nv=ch3(gk.GO_NV), xs=xs, ns=ch3(gk.GO_NS),
+    )
+    prim_pdf = out[gk.GO_PDF].reshape(-1)
+    prim_delta = out[gk.GO_DELTA].reshape(-1) > 0.5
+    valid = (mathx.luminance(lo) >= 1e-8) & (
+        mathx.length(xs - it.pos) > 0.0
+    )
+    return sample, prim_pdf, prim_delta, valid
+
+
 def trace_gi_sample(
     scene: SceneData,
     it,  # primary Interaction
@@ -67,6 +137,14 @@ def trace_gi_sample(
     Returns (sample, prim_sample_pdf [R], prim_delta [R] bool,
     valid [R] bool).
     """
+    from ..ops.intersect import _on_tpu
+
+    if gi_fused_eligible(scene, cfg, pix.shape[0]) and _on_tpu():
+        # band slices are contiguous: pix[0] is the global base index
+        return trace_gi_sample_fused(
+            scene, it, mat, ray_dir, cfg, looper, pix[0]
+        )
+
     trv = traversal_arrays(scene, cfg.intersector)
     R = pix.shape[0]  # may be a band slice of the frame
 

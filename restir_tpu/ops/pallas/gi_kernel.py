@@ -1,0 +1,725 @@
+"""Fused ReSTIR GI path-trace kernel (VMEM-resident scenes).
+
+One Pallas kernel traces the ENTIRE indirect path sample of
+models/restir_gi.trace_gi_sample (reference: ReSTIRIndirectKernel,
+/root/reference/src/restir.cu:242-416) per 1024-ray tile: the
+statically-unrolled bounce loop runs closest-hit + NEE (alias light
+sample + shadow test) + BSDF sampling entirely in channel-major 1-D
+form — no whole-frame [R, 3] XLA ops, whose (8,128)-tile lane padding
+made the XLA GI path ~2.15 s/frame at 1080p (BASELINE.md round 3).
+
+Bit-parity contract: identical RNG streams (pcg4d(pix, looper, ctr,
+SALT_GI), counters as in models/restir_gi), identical BSDF math
+(ops/bsdf.py), identical intersection predicates (ops/intersect_bf:
+t > 0, |ddw| >= 1e-12, RAY_OFFSET 1e-5, occlusion limit
+dist - 2e-4), identical alias light sampling (scene/alias_table.py).
+tests/test_gi_fused.py asserts lane-for-lane agreement vs the XLA
+tracer in interpret mode.
+
+Eligibility (the wrapper's): pcg4d sampler, no env map, no textures,
+n_tri <= 1024 (planes + attrs live in VMEM; the reference cornell-class
+scenes). Streaming-scene GI keeps the banded XLA pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect_kernel import (
+    ATTR_COLS,
+    MAT_COLS,
+    _hi_lo,
+    dot_exact_b,
+    dot_f32x3,
+)
+from .fused_di import _procedural_tex
+from .ris_kernel import _pcg4d, _unit
+
+# material types (scene/scene_data.py)
+_LAMBERTIAN = 0.0
+_METALLIC = 1.0
+_DIELECTRIC = 2.0
+_LIGHT = 4.0
+
+_PI = 3.14159265358979323846
+_INV_PI = 1.0 / _PI
+_TWO_PI = 2.0 * _PI
+_BIG = 3e38
+
+# BSDF sample-type flags (ops/bsdf.py, material.h:16-25)
+_F_DIFFUSE = 1
+_F_GLOSSY = 2
+_F_SPECULAR = 4
+_F_REFLECTION = 16
+_F_TRANSMISSION = 32
+_F_INVALID = 1 << 15
+
+_RAY_OFFSET = 1e-5  # intersections.h:13
+_OCCL_EPS = 1e-4  # scene.h:287
+
+# ---- input pack channels (built XLA-side by the wrapper)
+IN_POS = 0  # 3: primary hit position
+IN_NORM = 3  # 3: primary interpolated normal
+IN_DIR = 6  # 3: primary ray direction
+IN_MTYPE = 9
+IN_METAL = 10
+IN_ROUGH = 11
+IN_IOR = 12
+IN_ALIVE = 13  # it.valid & (mat.type != LIGHT)
+IN_CH = 16
+
+# ---- output pack channels
+GO_LO = 0  # 3
+GO_NV = 3  # 3
+GO_XS = 6  # 3
+GO_NS = 9  # 3
+GO_PDF = 12  # primary-bounce pdf
+GO_DELTA = 13  # primary bounce was a delta lobe
+GO_CH = 16
+
+# GI pass RNG counters (models/restir_gi)
+_CTR_PATH = 2
+_SALT_GI = 0x04
+
+# light-table rows (built by the wrapper)
+LT_PROB = 0
+LT_ALIAS = 1
+LT_PRIM = 2
+LT_RAD = 3  # 3
+LT_ROWS = 8
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _norm3(x, y, z, eps=1e-20):
+    inv = 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y + z * z), eps)
+    return x * inv, y * inv, z * inv
+
+
+def _local_frame(nx, ny, nz):
+    """(t, b) about n — utils/math.local_ref_frame conventions."""
+    usez = jnp.abs(ny) > 0.9999
+    bx = jnp.where(usez, ny, -nz)
+    by = jnp.where(usez, -nx, 0.0)
+    bz = jnp.where(usez, 0.0, nx)
+    bx, by, bz = _norm3(bx, by, bz)
+    tx, ty, tz = _cross3(bx, by, bz, nx, ny, nz)
+    return tx, ty, tz, bx, by, bz
+
+
+def _to_disk(rx, ry):
+    r = jnp.sqrt(rx)
+    th = ry * _TWO_PI
+    return jnp.cos(th) * r, jnp.sin(th) * r
+
+
+def _cosine_hemisphere(nx, ny, nz, rx, ry):
+    dx_, dy_ = _to_disk(rx, ry)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx_ * dx_ - dy_ * dy_))
+    tx, ty, tz, bx, by, bz = _local_frame(nx, ny, nz)
+    return _norm3(
+        tx * dx_ + bx * dy_ + nx * z,
+        ty * dx_ + by * dy_ + ny * z,
+        tz * dx_ + bz * dy_ + nz * z,
+    )
+
+
+def _schlick_g(c, alpha):
+    a = alpha * 0.5
+    c = jnp.abs(c)
+    return c / jnp.maximum(c * (1.0 - a) + a, 1e-20)
+
+
+def _gtr2(cos_h, alpha):
+    aa = alpha * alpha
+    den = cos_h * cos_h * (aa - 1.0) + 1.0
+    return jnp.where(
+        cos_h < 1e-6, 0.0, aa / jnp.maximum(den * den * _PI, 1e-20)
+    )
+
+
+def _metallic_eval(base, metallic, alpha, nx, ny, nz,
+                   wox, woy, woz, wix, wiy, wiz):
+    """RGB metallic-workflow eval — ops/bsdf._metallic_eval in 1-D."""
+    hx, hy, hz = _norm3(wox + wix, woy + wiy, woz + wiz)
+    cos_o = _dot3(nx, ny, nz, wox, woy, woz)
+    cos_i = _dot3(nx, ny, nz, wix, wiy, wiz)
+    ok = cos_i * cos_o >= 1e-7
+    hdoto = _dot3(hx, hy, hz, wox, woy, woz)
+    one_m = 1.0 - hdoto
+    p5 = one_m * one_m
+    p5 = p5 * p5 * one_m
+    g = _schlick_g(cos_o, alpha) * _schlick_g(cos_i, alpha)
+    d = _gtr2(_dot3(nx, ny, nz, hx, hy, hz), alpha)
+    spec = g * d / jnp.maximum(4.0 * cos_i * cos_o, 1e-20)
+    out = []
+    for bc in base:
+        f0 = 0.08 * (1.0 - metallic) + bc * metallic
+        fr = f0 + (1.0 - f0) * p5
+        diffuse = bc * _INV_PI * (1.0 - metallic)
+        out.append(jnp.where(ok, diffuse * (1.0 - fr) + spec * fr, 0.0))
+    return out
+
+
+def _metallic_pdf(metallic, alpha, nx, ny, nz, wox, woy, woz,
+                  wix, wiy, wiz):
+    hx, hy, hz = _norm3(wox + wix, woy + wiy, woz + wiz)
+    cos_h = _dot3(nx, ny, nz, hx, hy, hz)
+    cos_o = _dot3(nx, ny, nz, wox, woy, woz)
+    hdoto = _dot3(hx, hy, hz, wox, woy, woz)
+    spec_pdf = (
+        _gtr2(cos_h, alpha) * _schlick_g(cos_o, alpha) * jnp.abs(hdoto)
+        / jnp.maximum(jnp.abs(cos_o), 1e-20)
+    ) / jnp.maximum(4.0 * jnp.abs(hdoto), 1e-20)
+    diff_pdf = (
+        jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0) * _INV_PI
+    )
+    t = 1.0 / (2.0 - metallic)
+    return diff_pdf + (spec_pdf - diff_pdf) * t
+
+
+def _eval_bsdf_rgb(mtype, base, metallic, roughness, nx, ny, nz,
+                   wox, woy, woz, wix, wiy, wiz):
+    """f(wo, wi) RGB — ops/bsdf.eval_bsdf in 1-D (delta lobes -> 0)."""
+    alpha = roughness * roughness
+    met = _metallic_eval(base, metallic, alpha, nx, ny, nz,
+                         wox, woy, woz, wix, wiy, wiz)
+    out = []
+    for k in range(3):
+        lam = base[k] * _INV_PI
+        out.append(jnp.where(
+            mtype == _LAMBERTIAN, lam,
+            jnp.where(mtype == _METALLIC, met[k], 0.0),
+        ))
+    return out
+
+
+def _pdf_bsdf(mtype, metallic, roughness, nx, ny, nz,
+              wox, woy, woz, wix, wiy, wiz):
+    alpha = roughness * roughness
+    lam = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0) * _INV_PI
+    met = _metallic_pdf(metallic, alpha, nx, ny, nz,
+                        wox, woy, woz, wix, wiy, wiz)
+    return jnp.where(
+        mtype == _LAMBERTIAN, lam,
+        jnp.where(mtype == _METALLIC, met, 0.0),
+    )
+
+
+def _fresnel_dielectric(cos_in, ior):
+    flip = cos_in < 0.0
+    ior = jnp.where(flip, 1.0 / ior, ior)
+    cos_in = jnp.abs(cos_in)
+    sin_in = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_in * cos_in))
+    sin_tr = sin_in / ior
+    tir = sin_tr >= 1.0
+    cos_tr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tr * sin_tr))
+    rs = (cos_in - ior * cos_tr) / jnp.maximum(cos_in + ior * cos_tr, 1e-20)
+    rp = (ior * cos_in - cos_tr) / jnp.maximum(ior * cos_in + cos_tr, 1e-20)
+    return jnp.where(tir, 1.0, (rs * rs + rp * rp) * 0.5)
+
+
+def _sample_vndf(nx, ny, nz, wox, woy, woz, alpha, rx, ry):
+    """Heitz VNDF GGX half-vector sample — ops/bsdf.gtr2_sample_vndf."""
+    tx, ty, tz, bx, by, bz = _local_frame(nx, ny, nz)
+    lx = _dot3(wox, woy, woz, tx, ty, tz)
+    ly = _dot3(wox, woy, woz, bx, by, bz)
+    lz = _dot3(wox, woy, woz, nx, ny, nz)
+    vx, vy, vz = _norm3(lx * alpha, ly * alpha, lz)
+    len_sq = vx * vx + vy * vy
+    has = len_sq > 0.0
+    linv = 1.0 / jnp.sqrt(jnp.maximum(len_sq, 1e-20))
+    t1x = jnp.where(has, -vy * linv, 1.0)
+    t1y = jnp.where(has, vx * linv, 0.0)
+    t1z = jnp.zeros_like(vx)
+    t2x, t2y, t2z = _cross3(vx, vy, vz, t1x, t1y, t1z)
+    px, py0 = _to_disk(rx, ry)
+    s = 0.5 * (vz + 1.0)
+    py = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - px * px)) + s * py0
+    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - px * px - py * py))
+    hx = t1x * px + t2x * py + vx * pz
+    hy = t1y * px + t2y * py + vy * pz
+    hz = t1z * px + t2z * py + vz * pz
+    hx, hy, hz = hx * alpha, hy * alpha, jnp.maximum(hz, 0.0)
+    wx = tx * hx + bx * hy + nx * hz
+    wy = ty * hx + by * hy + ny * hz
+    wz = tz * hx + bz * hy + nz * hz
+    return _norm3(wx, wy, wz)
+
+
+def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
+                     mat_ref, light_ref, scal_ref, out_ref,
+                     *, n_pad, m_pad, l_pad, n_lights, depth,
+                     single_sided):
+    cg = in_ref.shape[1]
+    b = cg * 128
+    tile_id = pl.program_id(0)
+    looper = looper_ref[0]
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
+    sum_inv = scal_ref[0]
+
+    def ch(i):
+        return in_ref[i, :, :].reshape(b)
+
+    px, py, pz = ch(IN_POS), ch(IN_POS + 1), ch(IN_POS + 2)
+    nx, ny, nz = ch(IN_NORM), ch(IN_NORM + 1), ch(IN_NORM + 2)
+    dx, dy, dz = ch(IN_DIR), ch(IN_DIR + 1), ch(IN_DIR + 2)
+    wox, woy, woz = -dx, -dy, -dz
+    mtype = ch(IN_MTYPE)
+    metallic = ch(IN_METAL)
+    roughness = ch(IN_ROUGH)
+    ior = ch(IN_IOR)
+    alive = ch(IN_ALIVE) > 0.5
+    # bounce-surface base color: only consumed from depth >= 2, where it
+    # comes from the hit's material row; primary value is never used
+    basr = jnp.zeros_like(px)
+    basg = jnp.zeros_like(px)
+    basb = jnp.zeros_like(px)
+
+    oh_split_u = _hi_lo(jnp.concatenate([xu_ref[:, :]], axis=0).T)
+    # (planes stay f32 in VMEM; hi/lo of the RAY operand per trace call)
+
+    xu_t = _hi_lo(xu_ref[:, :].T)  # [n_pad, 4] splits, hoisted
+    xv_t = _hi_lo(xv_ref[:, :].T)
+    xw_t = _hi_lo(xw_ref[:, :].T)
+    del oh_split_u
+
+    row_np = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
+    row_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, b), 0)
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, b), 0)
+
+    def trace(ox_, oy_, oz_, ddx, ddy, ddz, active):
+        """Closest hit over ALL resident triangles (brute, mirrors
+        ops/intersect_bf._chunk_hits predicates). Returns (hit, dist,
+        u, v, prim)."""
+        oh4 = jnp.stack(
+            [ox_, oy_, oz_, jnp.ones_like(ox_)], axis=0)  # [4, B]
+        dh4 = jnp.stack([ddx, ddy, ddz, jnp.zeros_like(ox_)], axis=0)
+        oh_s, dh_s = _hi_lo(oh4), _hi_lo(dh4)
+        oou = dot_f32x3(None, None, a_split=xu_t, b_split=oh_s)  # [np, B]
+        oov = dot_f32x3(None, None, a_split=xv_t, b_split=oh_s)
+        oow = dot_f32x3(None, None, a_split=xw_t, b_split=oh_s)
+        ddu = dot_f32x3(None, None, a_split=xu_t, b_split=dh_s)
+        ddv = dot_f32x3(None, None, a_split=xv_t, b_split=dh_s)
+        ddw = dot_f32x3(None, None, a_split=xw_t, b_split=dh_s)
+        nondeg = jnp.abs(ddw) >= 1e-12
+        t = -oow / jnp.where(nondeg, ddw, 1.0)
+        u = oou + t * ddu
+        v = oov + t * ddv
+        hit2 = (
+            nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        )
+        dist2 = jnp.where(hit2, t, _BIG)
+        j = jnp.argmin(dist2, axis=0)  # [B]
+        oh_best = row_np == j[None, :]
+        d_best = jnp.min(dist2, axis=0)
+        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=0)
+        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=0)
+        got = active & (d_best < _BIG)
+        return got, d_best, u_best, v_best, jnp.where(got, j, -1)
+
+    def occluded_test(ox_, oy_, oz_, tx_, ty_, tz_, active):
+        """Any-hit x -> target (ops/intersect_bf.test_occlusion_bf
+        semantics: offset origin, limit = dist - 2e-4)."""
+        sx, sy, sz = tx_ - ox_, ty_ - oy_, tz_ - oz_
+        dist = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        dinv = 1.0 / jnp.maximum(dist, 1e-20)
+        ddx, ddy, ddz = sx * dinv, sy * dinv, sz * dinv
+        o2x = ox_ + ddx * _RAY_OFFSET
+        o2y = oy_ + ddy * _RAY_OFFSET
+        o2z = oz_ + ddz * _RAY_OFFSET
+        limit = dist - _OCCL_EPS * 2.0
+        got, d_best, _, _, _ = trace(o2x, o2y, o2z, ddx, ddy, ddz, active)
+        return active & got & (d_best < limit)
+
+    def fetch_attr(prim):
+        oh = (row_np == prim[None, :]).astype(jnp.float32)
+        return dot_exact_b(attr_ref[:, :], oh)  # [ATTR_COLS, B]
+
+    def fetch_mat(mid):
+        oh = (row_m == mid[None, :]).astype(jnp.float32)
+        return dot_exact_b(mat_ref[:, :], oh)  # [MAT_COLS, B]
+
+    def fetch_light(lid):
+        oh = (row_l == lid[None, :]).astype(jnp.float32)
+        return dot_exact_b(light_ref[:, :], oh)  # [LT_ROWS, B]
+
+    zero = jnp.zeros_like(px)
+    lo = [zero, zero, zero]
+    nvx, nvy, nvz = nx, ny, nz
+    xsx, xsy, xsz = zero, zero, zero
+    nsx, nsy, nsz = zero, zero, zero
+    prim_pdf = jnp.ones_like(px)
+    prim_delta = jnp.zeros_like(px)  # bool as f32
+    thr = [jnp.ones_like(px)] * 3
+
+    upix = pix.astype(jnp.uint32)
+
+    for d_i in range(1, depth + 1):
+        first = d_i == 1
+        delta_bsdf = mtype == _DIELECTRIC
+        # orient the shading normal toward wo for non-delta materials
+        flip = (~delta_bsdf) & (
+            _dot3(nx, ny, nz, wox, woy, woz) < 0.0
+        )
+        sgn = jnp.where(flip, -1.0, 1.0)
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+        if first:
+            nvx, nvy, nvz = nx, ny, nz
+
+        ctr = _CTR_PATH + (d_i - 1) * 2
+        if not first:
+            # ---- NEE (restir.cu:290-300): alias light sample + shadow
+            u1, u2, u3, u4 = _pcg4d(
+                upix, jnp.full((b,), looper, jnp.uint32),
+                jnp.full((b,), ctr, jnp.uint32),
+                jnp.full((b,), _SALT_GI, jnp.uint32),
+            )
+            r1, r2, r3, r4 = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
+            shade_nee = alive & (~delta_bsdf)
+            pass_id = jnp.minimum(
+                (r1 * float(n_lights)).astype(jnp.int32), n_lights - 1
+            )
+            lt_p = fetch_light(pass_id)
+            accept = r2 < lt_p[LT_PROB]
+            lid = jnp.where(
+                accept, pass_id, lt_p[LT_ALIAS].astype(jnp.int32)
+            )
+            lt = jnp.where(accept[None, :], lt_p, fetch_light(lid))
+            lprim = lt[LT_PRIM].astype(jnp.int32)
+            lat = fetch_attr(lprim)
+            # v0 + e01/e02 spans; uniform point (mathUtil.h:94 warp)
+            sr = jnp.sqrt(r4)
+            su = 1.0 - sr
+            sv = r3 * sr
+            # sample = v1*su + v2*sv + v0*(1-su-sv)
+            #        = v0 + e01*su + e02*sv
+            smx = lat[0] + lat[3] * su + lat[6] * sv
+            smy = lat[1] + lat[4] * su + lat[7] * sv
+            smz = lat[2] + lat[5] * su + lat[8] * sv
+            lnx, lny, lnz = _cross3(
+                lat[3], lat[4], lat[5], lat[6], lat[7], lat[8]
+            )
+            lnx, lny, lnz = _norm3(lnx, lny, lnz)
+            tox, toy, toz = smx - px, smy - py, smz - pz
+            ldist = jnp.sqrt(tox * tox + toy * toy + toz * toz)
+            linv = 1.0 / jnp.maximum(ldist, 1e-20)
+            wix, wiy, wiz = tox * linv, toy * linv, toz * linv
+            lrad = [lt[LT_RAD], lt[LT_RAD + 1], lt[LT_RAD + 2]]
+            llum = (0.2126 * lrad[0] + 0.7152 * lrad[1]
+                    + 0.0722 * lrad[2])
+            pdf_area = llum * 2.0 * _PI * sum_inv
+            # area -> solid angle at the sample (mathUtil.h:182)
+            cos_l = jnp.abs(_dot3(lnx, lny, lnz, -wix, -wiy, -wiz))
+            lpdf = pdf_area * ldist * ldist / jnp.maximum(cos_l, 1e-20)
+            if single_sided:
+                lfront = _dot3(lnx, lny, lnz, tox, toy, toz) <= -1e-6
+                lpdf = jnp.where(lfront, lpdf, -1.0)
+            # shadow ray (sample_direct_light: target at the sample)
+            shoot = shade_nee & (lpdf > 0.0)
+            occ = occluded_test(px, py, pz, smx, smy, smz, shoot)
+            lpdf = jnp.where(occ, -1.0, lpdf)
+            f_rgb = _eval_bsdf_rgb(
+                mtype, [basr, basg, basb], metallic, roughness,
+                nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
+            )
+            bpdf = _pdf_bsdf(
+                mtype, metallic, roughness, nx, ny, nz,
+                wox, woy, woz, wix, wiy, wiz,
+            )
+            mis = lpdf * lpdf / jnp.maximum(
+                lpdf * lpdf + bpdf * bpdf, 1e-37
+            )
+            cos_s = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0)
+            scale = cos_s * mis / jnp.maximum(lpdf, 1e-20)
+            add = shade_nee & (lpdf > 0.0)
+            for k in range(3):
+                lo[k] = lo[k] + jnp.where(
+                    add, thr[k] * f_rgb[k] * lrad[k] * scale, 0.0
+                )
+
+        # ---- BSDF bounce (restir.cu:302-325; ops/bsdf.sample_bsdf)
+        u1, u2, u3, _ = _pcg4d(
+            upix, jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), ctr + 1, jnp.uint32),
+            jnp.full((b,), _SALT_GI, jnp.uint32),
+        )
+        b1, b2, b3 = _unit(u1), _unit(u2), _unit(u3)
+        lam_x, lam_y, lam_z = _cosine_hemisphere(nx, ny, nz, b1, b2)
+        alpha = roughness * roughness
+        hx, hy, hz = _sample_vndf(
+            nx, ny, nz, wox, woy, woz, alpha, b1, b2
+        )
+        hdoto = _dot3(hx, hy, hz, wox, woy, woz)
+        rfx, rfy, rfz = _norm3(
+            -wox + 2.0 * hdoto * hx,
+            -woy + 2.0 * hdoto * hy,
+            -woz + 2.0 * hdoto * hz,
+        )
+        pick_diff = b3 > 1.0 / (2.0 - metallic)
+        met_x = jnp.where(pick_diff, lam_x, rfx)
+        met_y = jnp.where(pick_diff, lam_y, rfy)
+        met_z = jnp.where(pick_diff, lam_z, rfz)
+        met_invalid = _dot3(nx, ny, nz, met_x, met_y, met_z) < 0.0
+
+        cos_wo = _dot3(nx, ny, nz, wox, woy, woz)
+        pdf_refl = _fresnel_dielectric(cos_wo, ior)
+        rlx, rly, rlz = _norm3(
+            -wox + 2.0 * cos_wo * nx,
+            -woy + 2.0 * cos_wo * ny,
+            -woz + 2.0 * cos_wo * nz,
+        )
+        # refract (utils/math.refract): eta flip on the incident side
+        eta_r = jnp.where(cos_wo < 0.0, 1.0 / ior, ior)
+        sin2_in = jnp.maximum(0.0, 1.0 - cos_wo * cos_wo)
+        sin2_tr = sin2_in / (eta_r * eta_r)
+        refr_ok = sin2_tr < 1.0
+        cos_tr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tr))
+        cos_tr = jnp.where(cos_wo < 0.0, -cos_tr, cos_tr)
+        tscale = cos_wo / eta_r - cos_tr
+        einv = 1.0 / eta_r
+        rtx, rty, rtz = _norm3(
+            -wox * einv + nx * tscale,
+            -woy * einv + ny * tscale,
+            -woz * einv + nz * tscale,
+        )
+        choose_refl = b3 < pdf_refl
+        die_x = jnp.where(choose_refl, rlx, rtx)
+        die_y = jnp.where(choose_refl, rly, rty)
+        die_z = jnp.where(choose_refl, rlz, rtz)
+        die_fs = jnp.where(choose_refl, 1.0, 1.0 / (eta_r * eta_r))
+        die_invalid = (~choose_refl) & (~refr_ok)
+
+        is_lam = mtype == _LAMBERTIAN
+        is_met = mtype == _METALLIC
+        is_die = mtype == _DIELECTRIC
+        wix = jnp.where(is_lam, lam_x, jnp.where(is_met, met_x, die_x))
+        wiy = jnp.where(is_lam, lam_y, jnp.where(is_met, met_y, die_y))
+        wiz = jnp.where(is_lam, lam_z, jnp.where(is_met, met_z, die_z))
+
+        lam_pdf = jnp.maximum(
+            _dot3(nx, ny, nz, lam_x, lam_y, lam_z), 0.0
+        ) * _INV_PI
+        met_f = _metallic_eval(
+            [basr, basg, basb], metallic, alpha, nx, ny, nz,
+            wox, woy, woz, met_x, met_y, met_z,
+        )
+        met_pdf = _metallic_pdf(
+            metallic, alpha, nx, ny, nz, wox, woy, woz,
+            met_x, met_y, met_z,
+        )
+        f_s = []
+        for k, bc in enumerate((basr, basg, basb)):
+            lam_f = bc * _INV_PI
+            f_s.append(jnp.where(
+                is_lam, lam_f,
+                jnp.where(is_met, met_f[k], bc * die_fs),
+            ))
+        pdf_s = jnp.where(
+            is_lam, lam_pdf, jnp.where(is_met, met_pdf, 1.0)
+        )
+        invalid = jnp.where(
+            is_lam, False,
+            jnp.where(is_met, met_invalid,
+                      jnp.where(is_die, die_invalid, True)),
+        )
+        delta_sample = is_die & ~invalid  # SPECULAR flag lobes
+
+        ok = alive & (~invalid) & (pdf_s >= 1e-8)
+        if first:
+            prim_pdf = jnp.where(ok, pdf_s, prim_pdf)
+            prim_delta = jnp.where(
+                ok, delta_sample.astype(jnp.float32), prim_delta
+            )
+        weight = jnp.where(
+            delta_sample, 1.0,
+            jnp.abs(_dot3(nx, ny, nz, wix, wiy, wiz)),
+        )
+        if not first:
+            upd = ok
+            ws = weight / jnp.maximum(pdf_s, 1e-20)
+            for k in range(3):
+                thr[k] = jnp.where(upd, thr[k] * f_s[k] * ws, thr[k])
+        alive = ok
+
+        # offset ray + closest hit (intersections.h:13)
+        rox = px + wix * _RAY_OFFSET
+        roy = py + wiy * _RAY_OFFSET
+        roz = pz + wiz * _RAY_OFFSET
+        got, hdist, hu, hv, hprim = trace(
+            rox, roy, roz, wix, wiy, wiz, alive
+        )
+        alive = alive & got
+        at = fetch_attr(jnp.maximum(hprim, 0))
+        npx = at[0] + hu * at[3] + hv * at[6]
+        npy = at[1] + hu * at[4] + hv * at[7]
+        npz = at[2] + hu * at[5] + hv * at[8]
+        nnx = at[9] + hu * at[12] + hv * at[15]
+        nny = at[10] + hu * at[13] + hv * at[16]
+        nnz = at[11] + hu * at[14] + hv * at[17]
+        nnx, nny, nnz = _norm3(nnx, nny, nnz)
+        nmid = at[24].astype(jnp.int32)
+        nmat = fetch_mat(nmid)
+        # procedural base color applies regardless of with_textures
+        # (ops/texture.fetch_textured_material:102-104)
+        u_uv = at[18] + hu * at[20] + hv * at[22]
+        v_uv = at[19] + hu * at[21] + hv * at[23]
+        proc = _procedural_tex(u_uv, v_uv)
+        is_proc = nmat[7] < -1.5
+        nbase = [jnp.where(is_proc, proc, nmat[1 + k]) for k in range(3)]
+
+        # ---- light hit with MIS (restir.cu:345-367)
+        hit_light = alive & (nmat[0] == _LIGHT)
+        lfront2 = _dot3(nnx, nny, nnz, wix, wiy, wiz) < 0.0
+        lit = hit_light & lfront2 if single_sided else hit_light
+        le = nbase
+        le_lum = 0.2126 * le[0] + 0.7152 * le[1] + 0.0722 * le[2]
+        lp_area = le_lum * 2.0 * _PI * sum_inv
+        tox2, toy2, toz2 = npx - px, npy - py, npz - pz
+        d2h = tox2 * tox2 + toy2 * toy2 + toz2 * toz2
+        tinv = 1.0 / jnp.maximum(jnp.sqrt(d2h), 1e-20)
+        cos_h2 = jnp.abs(_dot3(
+            nnx, nny, nnz, -tox2 * tinv, -toy2 * tinv, -toz2 * tinv
+        ))
+        lp_sa = lp_area * d2h / jnp.maximum(cos_h2, 1e-20)
+        w_hit = jnp.where(
+            delta_sample | first, 1.0,
+            pdf_s * pdf_s / jnp.maximum(
+                pdf_s * pdf_s + lp_sa * lp_sa, 1e-37
+            ),
+        )
+        for k in range(3):
+            lo[k] = lo[k] + jnp.where(lit, le[k] * thr[k] * w_hit, 0.0)
+
+        if first:
+            got1 = ok & got
+            xsx = jnp.where(got1, npx, xsx)
+            xsy = jnp.where(got1, npy, xsy)
+            xsz = jnp.where(got1, npz, xsz)
+            nsx = jnp.where(got1, nnx, nsx)
+            nsy = jnp.where(got1, nny, nsy)
+            nsz = jnp.where(got1, nnz, nsz)
+
+        alive = alive & ~hit_light
+        # advance the path state
+        px, py, pz = npx, npy, npz
+        nx, ny, nz = nnx, nny, nnz
+        wox, woy, woz = -wix, -wiy, -wiz
+        mtype = nmat[0]
+        basr, basg, basb = nbase
+        metallic = nmat[4]
+        roughness = nmat[5]
+        ior = nmat[6]
+
+    def put(i, val):
+        out_ref[i, :, :] = val.reshape(cg, 128)
+
+    put(GO_LO, lo[0])
+    put(GO_LO + 1, lo[1])
+    put(GO_LO + 2, lo[2])
+    put(GO_NV, nvx)
+    put(GO_NV + 1, nvy)
+    put(GO_NV + 2, nvz)
+    put(GO_XS, xsx)
+    put(GO_XS + 1, xsy)
+    put(GO_XS + 2, xsz)
+    put(GO_NS, nsx)
+    put(GO_NS + 1, nsy)
+    put(GO_NS + 2, nsz)
+    put(GO_PDF, prim_pdf)
+    put(GO_DELTA, prim_delta)
+    put(GO_CH - 1, jnp.zeros_like(px))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "depth", "single_sided", "n_lights", "interpret"))
+def gi_trace_pallas(
+    in_pack, looper, tri_xform, prim_attr, mat_attr,
+    light_prob, light_alias, light_prim_ids, light_radiance,
+    sum_light_power_inv,
+    depth: int = 5, single_sided: bool = True, n_lights: int = 1,
+    pix0=0, interpret: bool = False,
+):
+    """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
+    Returns [GO_CH, R/128, 128]."""
+    from .fused_di import _lp2, _round_up, _split_planes
+
+    g = in_pack.shape[1]
+    n_tri = tri_xform.shape[1] // 3
+    n_pad = _round_up(max(n_tri, 128), 128)
+    assert n_pad <= 1024, "fused GI is for VMEM-resident scenes"
+    xu, xv, xw = _split_planes(tri_xform, n_pad)
+    attr_t = jnp.zeros((ATTR_COLS, n_pad), jnp.float32)
+    attr_t = attr_t.at[:, :prim_attr.shape[0]].set(
+        prim_attr.T.astype(jnp.float32)
+    )
+    m_pad = _round_up(max(mat_attr.shape[0], 8), 8)
+    mat_t = jnp.zeros((MAT_COLS, m_pad), jnp.float32)
+    mat_t = mat_t.at[:, :mat_attr.shape[0]].set(
+        mat_attr.T.astype(jnp.float32)
+    )
+    l_pad = _round_up(max(n_lights, 128), 128)
+    lt = jnp.zeros((LT_ROWS, l_pad), jnp.float32)
+    lt = lt.at[LT_PROB, :n_lights].set(light_prob[:n_lights])
+    lt = lt.at[LT_ALIAS, :n_lights].set(
+        light_alias[:n_lights].astype(jnp.float32)
+    )
+    lt = lt.at[LT_PRIM, :n_lights].set(
+        light_prim_ids[:n_lights].astype(jnp.float32)
+    )
+    lt = lt.at[LT_RAD:LT_RAD + 3, :light_radiance.shape[0]].set(
+        light_radiance.T
+    )
+    scal = jnp.stack(
+        [jnp.asarray(sum_light_power_inv, jnp.float32),
+         jnp.float32(0.0)]
+    )
+
+    n_tiles = g // 8
+    tg = 8
+    full_p = lambda i: (0, 0)  # noqa: E731
+    kern = functools.partial(
+        _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
+        n_lights=n_lights, depth=depth, single_sided=single_sided,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((IN_CH, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ATTR_COLS, n_pad), full_p,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAT_COLS, m_pad), full_p,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LT_ROWS, l_pad), full_p,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (GO_CH, tg, 128), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((GO_CH, g, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(_lp2(looper, pix0), in_pack, xu, xv, xw, attr_t, mat_t, lt, scal)

@@ -65,7 +65,6 @@ def gi_fused_eligible(scene: SceneData, cfg: RenderConfig,
         and not cfg.with_textures
         and scene.tex_data.shape[0] <= 1  # dummy [1, 3] when untextured
         and scene.verts.shape[0] <= 1024
-        and r % 1024 == 0
     )
 
 
@@ -85,6 +84,7 @@ def trace_gi_sample_fused(
     from ..ops.pallas import gi_kernel as gk
 
     r = it.pos.shape[0]
+    rp = -(-r // 1024) * 1024  # kernel tiles are 1024 rays
     alive = it.valid & (mat.type != LIGHT)
     zeros = jnp.zeros((r,), jnp.float32)
     rows = [
@@ -94,7 +94,12 @@ def trace_gi_sample_fused(
         mat.type.astype(jnp.float32), mat.metallic, mat.roughness,
         mat.ior, alive.astype(jnp.float32), zeros, zeros,
     ]
-    in_pack = jnp.stack(rows, axis=0).reshape(gk.IN_CH, r // 128, 128)
+    in_pack = jnp.stack(rows, axis=0)
+    if rp != r:
+        in_pack = jnp.concatenate(
+            [in_pack, jnp.zeros((gk.IN_CH, rp - r), jnp.float32)], axis=1
+        )
+    in_pack = in_pack.reshape(gk.IN_CH, rp // 128, 128)
     out = gk.gi_trace_pallas(
         in_pack, looper, scene.tri_xform, scene.prim_attr,
         scene.mat_attr, scene.light_prob, scene.light_alias,
@@ -107,7 +112,7 @@ def trace_gi_sample_fused(
 
     def ch3(i):
         return jnp.stack(
-            [out[i + k].reshape(-1) for k in range(3)], axis=-1
+            [out[i + k].reshape(-1)[:r] for k in range(3)], axis=-1
         )
 
     lo = mathx.zero_nan_or_inf(ch3(gk.GO_LO))
@@ -115,8 +120,8 @@ def trace_gi_sample_fused(
     sample = rsv.IndirectSample(
         lo=lo, xv=it.pos, nv=ch3(gk.GO_NV), xs=xs, ns=ch3(gk.GO_NS),
     )
-    prim_pdf = out[gk.GO_PDF].reshape(-1)
-    prim_delta = out[gk.GO_DELTA].reshape(-1) > 0.5
+    prim_pdf = out[gk.GO_PDF].reshape(-1)[:r]
+    prim_delta = out[gk.GO_DELTA].reshape(-1)[:r] > 0.5
     valid = (mathx.luminance(lo) >= 1e-8) & (
         mathx.length(xs - it.pos) > 0.0
     )

@@ -100,3 +100,29 @@ def test_gi_trace_matches_xla(scene_cam):
     # the GI sample field must carry real energy (not all-miss)
     assert np.asarray(got_valid).mean() > 0.1
     assert lo_got[np.asarray(got_valid)].mean() > 1e-3
+
+
+def test_gi_trace_pads_partial_tiles():
+    """Band sizes need not be 1024-multiples (the 1080p band split
+    yields 259200-ray bands): the wrapper pads dead lanes."""
+    scene, camkw = procedural.cornell_box()
+    cam = make_camera(**camkw)
+    w, h = 128, 9  # R = 1152: one full tile + a 128-ray tail
+    cfg = RenderConfig(width=w, height=h, tracer=TracerType.RESTIR_GI,
+                       aa_jitter=False, trace_depth=2)
+    looper = jnp.uint32(7)
+    r = w * h
+    pix = jnp.arange(r, dtype=jnp.uint32)
+    gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+    ref_s, ref_pdf, _, ref_valid = restir_gi.trace_gi_sample(
+        scene, it, mat, d, cfg, looper, pix
+    )
+    got_s, got_pdf, _, got_valid = restir_gi.trace_gi_sample_fused(
+        scene, it, mat, d, cfg, looper, 0, interpret=True
+    )
+    assert got_s.lo.shape == (r, 3)
+    match = np.isclose(
+        np.asarray(ref_s.lo), np.asarray(got_s.lo), rtol=2e-3, atol=2e-4
+    ).all(axis=-1)
+    assert match.mean() > 0.97
+    assert (np.asarray(ref_valid) == np.asarray(got_valid)).mean() > 0.985

@@ -126,3 +126,57 @@ def test_gi_trace_pads_partial_tiles():
     ).all(axis=-1)
     assert match.mean() > 0.97
     assert (np.asarray(ref_valid) == np.asarray(got_valid)).mean() > 0.985
+
+
+@pytest.mark.slow
+def test_gi_fused_step_statistical(scene_cam, monkeypatch):
+    """Full restir_indirect with the kernel trace vs the XLA trace:
+    multi-frame image means agree (the reservoir/temporal/shade stage
+    is shared, so this gates the trace swap end to end)."""
+    scene, cam = scene_cam
+    cfg = _cfg(aa_jitter=False)
+    looper_frames = 6
+    pix = jnp.arange(R, dtype=jnp.uint32)
+
+    from restir_tpu.ops import reservoir as rsv
+
+    def run(fused):
+        if fused:
+            orig = restir_gi.trace_gi_sample
+
+            def routed(scene_, it, mat, d, cfg_, looper, pix_):
+                return restir_gi.trace_gi_sample_fused(
+                    scene_, it, mat, d, cfg_, looper, pix_[0],
+                    interpret=True,
+                )
+
+            monkeypatch.setattr(restir_gi, "trace_gi_sample", routed)
+        try:
+            res = rsv.zeros_indirect(R)
+            gb_prev = None
+            acc = np.zeros((R, 3))
+            for f in range(looper_frames):
+                looper = jnp.uint32(f)
+                gb, it, mat, d = gbuf.render_gbuffer(
+                    scene, cam, cam, cfg, looper
+                )
+                if gb_prev is None:
+                    gb_prev = gb
+                ind, res = restir_gi.restir_indirect(
+                    scene, gb, gb_prev, it, mat, d, res, cfg, looper,
+                    pix=pix,
+                )
+                gb_prev = gb
+                acc += np.asarray(ind)
+        finally:
+            if fused:
+                monkeypatch.setattr(restir_gi, "trace_gi_sample", orig)
+        return acc / looper_frames
+
+    img_ref = run(False)
+    img_fused = run(True)
+    assert np.isfinite(img_fused).all()
+    ref = max(img_ref.mean(), 1e-9)
+    assert abs(img_fused.mean() - ref) / ref < 0.05, (
+        img_fused.mean(), ref
+    )

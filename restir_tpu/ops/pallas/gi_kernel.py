@@ -289,13 +289,10 @@ def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
     basg = jnp.zeros_like(px)
     basb = jnp.zeros_like(px)
 
-    oh_split_u = _hi_lo(jnp.concatenate([xu_ref[:, :]], axis=0).T)
-    # (planes stay f32 in VMEM; hi/lo of the RAY operand per trace call)
-
-    xu_t = _hi_lo(xu_ref[:, :].T)  # [n_pad, 4] splits, hoisted
+    # plane hi/lo splits hoisted once per tile ([n_pad, 4] operands)
+    xu_t = _hi_lo(xu_ref[:, :].T)
     xv_t = _hi_lo(xv_ref[:, :].T)
     xw_t = _hi_lo(xw_ref[:, :].T)
-    del oh_split_u
 
     row_np = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
     row_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, b), 0)

@@ -68,8 +68,32 @@ def _frame_hwc(frame, cfg):
     return f.reshape(cfg.height, cfg.width, 3)
 
 
+def _honor_platform_env() -> None:
+    """Make `JAX_PLATFORMS=cpu python -m restir_tpu ...` actually run on
+    CPU: the axon sitecustomize's PJRT registration overrides the env
+    var, and the first backend touch would then HANG indefinitely when
+    the TPU relay is down. Re-assert the env choice via jax.config +
+    clear_backends BEFORE any devices() call (same dance as
+    tests/conftest.py)."""
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", plats)
+    try:
+        import jax._src.xla_bridge as _xb
+
+        _xb._clear_backends()
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    _honor_platform_env()
 
     if args.debug_nans:
         import jax

@@ -80,11 +80,17 @@ def init_state(cfg: RenderConfig, cam: Camera) -> FusedDIState:
 
 
 def reset_accumulation(state: FusedDIState) -> FusedDIState:
+    svgf = jnp.zeros_like(state.svgf_pack)
+    if svgf.shape[0] == fk.SV_CH:
+        # prim history = NULL (as in init_state) so the first frame
+        # after a reset disoccludes everywhere; 0.0 is a VALID prim id
+        # and would alpha-blend stale black history into those pixels
+        svgf = svgf.at[fk.SV_PRIM].set(-1.0)
     return state._replace(
         iteration=jnp.int32(0),
         accum=jnp.zeros_like(state.accum),
         pt_pack=jnp.zeros_like(state.pt_pack),
-        svgf_pack=jnp.zeros_like(state.svgf_pack),
+        svgf_pack=svgf,
     )
 
 

@@ -32,9 +32,16 @@ every frame and every 1024-pixel tile, so there is no frame-wide
 correlation (the round-1 XLA path shared offsets across the whole
 frame); the merge randomness and similarity rejection remain per-pixel.
 
+The fused path covers env maps (env-tile CDF rows sampled alongside
+area lights), base-color AND metallic/roughness/normal-map textures
+(mip-clamped VMEM atlas, aux maps behind one per-tile cond), EAW and
+SVGF denoisers (kernel T temporal accumulation + plane wavelets), and
+multi-chip row-band sharding (parallel/fused_sharding.py).
+
 Eligibility (the model falls back to models/restir_di.py otherwise):
-RESTIR_DI tracer, brute/clustered intersector, cdf RIS mode, no env
-map, no textures, no DoF, W % 128 == 0 and H % 8 == 0.
+RESTIR_DI tracer, brute/clustered intersector, cdf RIS mode, pcg4d
+sampler, no DoF, W % 128 == 0 and H % 8 == 0 — see
+models/restir_di_fused.eligible and `eligible` below.
 """
 
 from __future__ import annotations
@@ -249,9 +256,10 @@ def _env_tile_radiance(env_rad_ref, dx, dy, dz):
 
 
 def eligible(cfg, scene_has_env: bool, with_textures: bool) -> bool:
-    # env maps and base-color textures are handled natively (env-tile
-    # CDF rows, in-kernel mip-clamped atlas fetch); metallic/roughness/
-    # normal MAPS still fall back (checked in restir_di_fused.eligible)
+    # env maps, base-color textures AND metallic/roughness/normal maps
+    # are all handled natively (env-tile CDF rows, in-kernel mip-clamped
+    # atlas fetch, aux maps behind one per-tile cond); the remaining
+    # static gates live in restir_di_fused.eligible
     return (
         not cfg.enable_dof
         and cfg.width % 128 == 0

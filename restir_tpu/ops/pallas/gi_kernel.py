@@ -638,7 +638,11 @@ def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
     put(GO_NS + 2, nsz)
     put(GO_PDF, prim_pdf)
     put(GO_DELTA, prim_delta)
-    put(GO_CH - 1, jnp.zeros_like(px))
+    # zero ALL padding channels so the returned pack has no
+    # uninitialized VMEM planes (a whole-pack finiteness check must
+    # never see garbage)
+    for i in range(GO_DELTA + 1, GO_CH):
+        put(i, jnp.zeros_like(px))
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -71,7 +71,13 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
     assert r % (n * fk._TILE) == 0, "bands must be 1024-pixel aligned"
     r_loc = r // n
     window = min(2048, r_loc)
-    halo_s = min(_round_up(5 * w_img + 133, fk._TILE), r_loc)
+    # spatial halo must cover the disk radius: taps reach up to
+    # ceil(radius) rows away plus ceil(radius) lanes, and the kernel's
+    # band-local DMA start is clamped — an undersized halo would fetch
+    # wrong neighbor rows SILENTLY (the validity check uses global
+    # frame bounds). Derive from cfg, don't hardcode radius 5.
+    rad = int(np.ceil(cfg.spatial_radius))
+    halo_s = min(_round_up((rad + 1) * w_img + 133, fk._TILE), r_loc)
     use_svgf = cfg.denoiser == DenoiserType.SVGF
     fwd = [(i, i + 1) for i in range(n - 1)]
     bwd = [(i + 1, i) for i in range(n - 1)]

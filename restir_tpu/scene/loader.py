@@ -32,7 +32,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..utils.image_io import read_png
+from ..utils.image_io import read_hdr, read_pfm, read_png
 from .scene_data import (
     DIELECTRIC,
     LAMBERTIAN,
@@ -314,20 +314,47 @@ def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return load_obj(path)
 
 
-def _load_texture(path: str, flip: bool = True) -> np.ndarray:
-    """Linear float RGB [h, w, 3]; PNG natively, else defer to stb-like
-    loaders if available."""
+def _load_texture(path: str, flip: bool = True, srgb: bool = True
+                  ) -> np.ndarray:
+    """Linear float RGB [h, w, 3] — the role of stbi_loadf in
+    Image::Image (image.cpp:14-29): any supported format decodes to
+    linear float. HDR formats (.hdr Radiance RGBE, .pfm) are stored
+    linear; LDR formats (PNG/JPG/...) are sRGB-encoded and get stb's
+    gamma-2.2 linearization — except when srgb=False (data maps:
+    normal/metallic/roughness, which are raw values, not colors)."""
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".png":
-        img = read_png(path).astype(np.float32) / 255.0
-    else:
-        raise ValueError(f"unsupported texture format: {path}")
+    if ext == ".hdr":
+        img = read_hdr(path)
+        srgb = False
+    elif ext == ".pfm":
+        img = read_pfm(path)
+        srgb = False
+    elif ext == ".png":
+        try:
+            img = read_png(path).astype(np.float32) / 255.0
+        except Exception:  # palette/16-bit/alpha PNGs: defer to PIL
+            img = _load_texture_pil(path)
+    else:  # JPG and anything else PIL can decode
+        img = _load_texture_pil(path)
     if img.ndim == 2:
         img = np.stack([img] * 3, -1)
-    img = img[..., :3]
+    img = img[..., :3].astype(np.float32)
+    if srgb:
+        img = img ** 2.2
     if flip:
         img = img[::-1]
     return np.ascontiguousarray(img)
+
+
+def _load_texture_pil(path: str) -> np.ndarray:
+    try:
+        from PIL import Image as PILImage
+    except ImportError as e:
+        raise ValueError(
+            f"unsupported texture format (and PIL unavailable): {path}"
+        ) from e
+    with PILImage.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
 
 
 def _is_number(tok: str) -> bool:
@@ -353,11 +380,12 @@ def parse_scene_file(path: str) -> SceneFile:
     def resolve_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(base_dir, p)
 
-    def add_texture(p: str, flip: bool = True) -> int:
-        key = (p, flip)
+    def add_texture(p: str, flip: bool = True, srgb: bool = True) -> int:
+        key = (p, flip, srgb)
         if key not in texture_map:
             texture_map[key] = len(sf.textures)
-            sf.textures.append(_load_texture(resolve_path(p), flip=flip))
+            sf.textures.append(
+                _load_texture(resolve_path(p), flip=flip, srgb=srgb))
         return texture_map[key]
 
     i = 0
@@ -391,17 +419,17 @@ def parse_scene_file(path: str) -> SceneFile:
                     if _is_number(toks[1]):
                         mat.metallic = float(toks[1])
                     else:
-                        mat.metallic_map = add_texture(toks[1])
+                        mat.metallic_map = add_texture(toks[1], srgb=False)
                 elif toks[0] == "Roughness":
                     if _is_number(toks[1]):
                         mat.roughness = float(toks[1])
                     else:
-                        mat.roughness_map = add_texture(toks[1])
+                        mat.roughness_map = add_texture(toks[1], srgb=False)
                 elif toks[0] == "Ior":
                     mat.ior = float(toks[1])
                 elif toks[0] == "NormalMap":
                     if toks[1] != "Null":
-                        mat.normal_map = add_texture(toks[1])
+                        mat.normal_map = add_texture(toks[1], srgb=False)
             material_map[tokens[1]] = len(sf.materials)
             sf.materials.append(mat)
 

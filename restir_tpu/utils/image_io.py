@@ -109,6 +109,59 @@ def read_pfm(path: str) -> np.ndarray:
     return data.reshape(h, w, 3)[::-1].copy()
 
 
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE .hdr reader (the inverse of write_hdr; covers what
+    stbi_loadf covers for .hdr, image.cpp:14-29): flat scanlines AND the
+    adaptive-RLE encoding every external tool emits. Returns linear
+    float32 [h, w, 3], top-down."""
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"#?"):
+            raise ValueError(f"not a Radiance file: {path}")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n"):
+                break
+            if not line:
+                raise ValueError(f"truncated .hdr header: {path}")
+        dims = f.readline().split()
+        if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
+            raise ValueError(f"unsupported .hdr orientation: {dims}")
+        h, w = int(dims[1]), int(dims[3])
+        data = f.read()
+
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for row in range(h):
+        # new-style RLE scanline: 0x02 0x02 then 16-bit width
+        if (w >= 8 and w < 32768 and pos + 4 <= len(data)
+                and data[pos] == 2 and data[pos + 1] == 2
+                and (data[pos + 2] << 8 | data[pos + 3]) == w):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = data[pos]
+                    pos += 1
+                    if count > 128:  # run
+                        rgbe[row, x:x + count - 128, c] = data[pos]
+                        pos += 1
+                        x += count - 128
+                    else:  # literal
+                        rgbe[row, x:x + count, c] = np.frombuffer(
+                            data, np.uint8, count, pos)
+                        pos += count
+                        x += count
+        else:  # flat scanline (also covers old-style RLE-free files)
+            rgbe[row] = np.frombuffer(
+                data, np.uint8, w * 4, pos).reshape(w, 4)
+            pos += w * 4
+
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp > 0, np.ldexp(1.0, exp - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None]
+
+
 def mirror_for_save(img: np.ndarray) -> np.ndarray:
     """Horizontal mirror matching saveImage (main.cpp:127)."""
     return img[:, ::-1]

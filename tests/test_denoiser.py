@@ -77,6 +77,7 @@ def test_svgf_temporal_accumulate_blends():
     assert np.allclose(np.asarray(state.accum_moment[:, 2]), 1.0)
 
 
+@pytest.mark.slow
 def test_svgf_end_to_end_smooths():
     """SVGF on a genuinely noisy signal: single-frame full path tracing
     (bounce noise). Emissive/miss pixels are excluded: the filter passes

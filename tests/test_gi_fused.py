@@ -65,9 +65,8 @@ def test_gi_trace_matches_xla(scene_cam):
     # bf16-split hit test rounds u+v across the boundary (same crack
     # width as the production DI kernel, tests/test_fused_di.py); a
     # rerouted FIRST bounce changes everything downstream, so the
-    # lane-match gates scale with trace depth. Depth-1 lo/pdf/valid
-    # match EXACTLY (verified in bring-up) — the BSDF/NEE math is
-    # bit-identical on matched hits.
+    # lane-match gates scale with trace depth. Depth-1 parity is pinned
+    # exactly by test_gi_trace_depth1_exact below (zero rerouted lanes).
     lo_ref = np.asarray(ref_s.lo)
     lo_got = np.asarray(got_s.lo)
     match = np.isclose(lo_ref, lo_got, rtol=2e-3, atol=2e-4).all(axis=-1)
@@ -100,6 +99,46 @@ def test_gi_trace_matches_xla(scene_cam):
     # the GI sample field must carry real energy (not all-miss)
     assert np.asarray(got_valid).mean() > 0.1
     assert lo_got[np.asarray(got_valid)].mean() > 1e-3
+
+
+def test_gi_trace_depth1_exact(scene_cam):
+    """Pins the headline claim: at trace_depth=1 NO lane is rerouted —
+    EVERY lane's valid/delta agree exactly and lo/pdf/nv agree bit-near
+    on every lane (the >0.97 gates above are only for tie-reroute
+    cascades at depth 5). Measured residuals (CPU interpret, both
+    param sets): lo/nv exact at 1e-5 on ALL 4096 lanes; pdf within
+    3e-4 on dielectric lobes (bf16-split vs HIGHEST arithmetic); xs
+    within 1e-3 on valid lanes; ns/xs on INVALID lanes are don't-care
+    fields the two implementations leave differently."""
+    scene, cam = scene_cam
+    cfg = _cfg(aa_jitter=False, trace_depth=1)
+    looper = jnp.uint32(3)
+    pix = jnp.arange(R, dtype=jnp.uint32)
+
+    gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+    ref_s, ref_pdf, ref_delta, ref_valid = restir_gi.trace_gi_sample(
+        scene, it, mat, d, cfg, looper, pix
+    )
+    got_s, got_pdf, got_delta, got_valid = restir_gi.trace_gi_sample_fused(
+        scene, it, mat, d, cfg, looper, 0, interpret=True
+    )
+
+    valid = np.asarray(ref_valid)
+    np.testing.assert_array_equal(valid, np.asarray(got_valid))
+    np.testing.assert_array_equal(
+        np.asarray(ref_delta), np.asarray(got_delta))
+    for name, a, b, rtol, atol, mask in (
+        ("lo", ref_s.lo, got_s.lo, 1e-4, 1e-6, None),
+        ("pdf", ref_pdf, got_pdf, 1e-3, 1e-6, None),
+        ("nv", ref_s.nv, got_s.nv, 1e-4, 1e-6, None),
+        ("xs", ref_s.xs, got_s.xs, 1e-3, 1e-4, valid),
+        ("ns", ref_s.ns, got_s.ns, 1e-5, 1e-6, valid),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if mask is not None:
+            a, b = a[mask], b[mask]
+        ok = np.isclose(a, b, rtol=rtol, atol=atol)
+        assert ok.all(), (name, 1.0 - ok.mean())
 
 
 def test_gi_trace_pads_partial_tiles():

@@ -95,6 +95,52 @@ def test_spatiotemporal_lower_variance_than_ris():
     assert err_cdf < err_none, (err_cdf, err_none)
 
 
+@pytest.mark.slow
+def test_cdf_k4_matches_reference_k32():
+    """Workload parity behind the headline fps (VERDICT r3 weak #5):
+    the bench runs the TPU-native cdf sampler at K=4 candidates while
+    the reference ships K=32 power-proportional candidates
+    (restir.cu:3 ReservoirSize). This pins that cdf-K4 matches or
+    beats reference-K32 single-frame error at EQUAL frame count on a
+    bench-class many-light scene — i.e. the headline fps is not earned
+    on a lighter workload. (The cdf draws candidates from the exact
+    per-pixel product distribution, so each candidate is worth far
+    more than a power-proportional one.)"""
+    from restir_tpu.scene.procedural import many_light_scene
+    from restir_tpu.models import gbuffer as gbuf
+
+    scene, camkw = many_light_scene(n_lights=36, n_blocks=12,
+                                    bvh_impl="numpy")
+    cam = make_camera(**camkw)
+    base = RenderConfig(
+        width=W, height=H, tracer=TracerType.RESTIR_DI, accumulate=False,
+        reuse=ReuseMode.NONE,
+    )
+    ref_cfg = base.replace(accumulate=True, tracer=TracerType.PT_DIRECT)
+    _, ref = renderer.render(scene, cam, ref_cfg, 400)
+    ref = np.asarray(ref)
+    gb, _, _, _ = gbuf.render_gbuffer(scene, cam, cam, base, 11)
+    mask = np.asarray(gb.prim_id) >= 0
+
+    def median_err(cfg, frames=8):
+        # median pixel error of single 1-spp frames (robust at 1 spp:
+        # RMSE is dominated by the shared firefly tail), averaged over
+        # several frames to kill seed luck
+        errs = []
+        state = renderer.init_state(cfg, cam, scene)
+        for _ in range(frames):
+            state, frame = renderer.step_jit(scene, state, cam, cfg)
+            err2 = ((np.asarray(frame) - ref) ** 2).mean(-1)[mask]
+            errs.append(np.sqrt(np.median(err2)))
+        return float(np.mean(errs))
+
+    err_ref32 = median_err(base.replace(ris_mode="reference",
+                                        ris_candidates=32))
+    err_cdf4 = median_err(base.replace(ris_mode="cdf", cdf_candidates=4))
+    # equal-or-better, with 5% statistical slack
+    assert err_cdf4 <= err_ref32 * 1.05, (err_cdf4, err_ref32)
+
+
 def test_no_nan_poisoning(scene_cam):
     """Reservoir NaN guards: long runs stay finite (restir.h:51-59)."""
     scene, cam = scene_cam

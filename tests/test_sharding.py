@@ -41,6 +41,7 @@ def test_sharded_step_runs(setup):
     assert len(frame.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(setup):
     """Row-band sharding must be a pure layout choice: identical pixels
     vs the unsharded step (same seed, same state)."""

@@ -148,7 +148,7 @@ def step_fused(
     frame = accum
     svgf_pack = state.svgf_pack
     if cfg.denoiser == DenoiserType.EAW:
-        frame = eaw_filter_packed(accum, gb, cfg)
+        frame = eaw_filter_packed(accum, gb, cfg, interpret=interpret)
     elif cfg.denoiser == DenoiserType.SVGF:
         frame, svgf_pack = svgf_filter_packed(
             accum, gb, state.svgf_pack, cfg, interpret=interpret
@@ -165,16 +165,60 @@ def step_fused(
     return next_state, frame
 
 
+def _atrous_bands(cfg: RenderConfig, c_in: int):
+    """Per-level Pallas band sizes (entries are None for levels whose
+    window can't fit the VMEM budget — those levels run the XLA plane
+    fallback; the rest stay Pallas). Returns None when the whole chain
+    must be XLA (width not lane-aligned)."""
+    from ..ops.pallas import atrous_kernel as ak
+
+    if cfg.width % 128 != 0:
+        return None
+    g = cfg.num_pixels // 128
+    return [ak.pick_band(g, 1 << lv, cfg.width // 128, c_in)
+            for lv in range(cfg.eaw_levels)]
+
+
+def _guide_pack(gb_pack: jnp.ndarray) -> jnp.ndarray:
+    """[7, R/128, 128] à-trous guide channels (prim remap, normal, pos)
+    in the atrous_kernel A_* layout."""
+    return jnp.concatenate([
+        gb_pack[fk.G_PRIMR:fk.G_PRIMR + 1],
+        gb_pack[fk.G_NORM:fk.G_NORM + 3],
+        gb_pack[fk.G_POS:fk.G_POS + 3],
+    ], axis=0)
+
+
 def eaw_filter_packed(
     frame: jnp.ndarray,  # [3, R/128, 128]
     gb_pack: jnp.ndarray,  # [GB_CH, R/128, 128]
     cfg: RenderConfig,
+    interpret: bool = False,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """EAW à-trous filter on channel-major planes (no [R, 3] transposes —
-    the filter core in models/denoiser.py is already plane-based)."""
+    """EAW à-trous filter on channel-major planes. The hot path runs
+    each level as a Pallas row-band kernel (ops/pallas/atrous_kernel.py,
+    VERDICT r3 next-#3: the XLA plane shifts were 23 ms of the 1080p
+    frame); the XLA plane core in models/denoiser.py remains the
+    fallback AND the sharded path (plane shifts partition under
+    NamedSharding with automatic halos — parallel/fused_sharding.py
+    passes use_pallas=False)."""
     from . import denoiser as dn
+    from ..ops.pallas import atrous_kernel as ak
 
     h, w = cfg.height, cfg.width
+
+    albedo = jnp.maximum(gb_pack[fk.G_ALB:fk.G_ALB + 3], 0.0)
+    if cfg.modulate_albedo:
+        safe = jnp.where(albedo > 1e-4, albedo, 1.0)
+        color = frame / safe
+    else:
+        safe = jnp.ones_like(albedo)
+        color = frame
+
+    g = cfg.num_pixels // 128
+    bands = _atrous_bands(cfg, ak.C_EAW) if use_pallas else None
+    guide = _guide_pack(gb_pack) if bands is not None else None
 
     def plane(i):
         return gb_pack[i].reshape(h, w)
@@ -182,19 +226,20 @@ def eaw_filter_packed(
     def planes3(i):
         return gb_pack[i:i + 3].reshape(3, h, w)
 
-    albedo = jnp.maximum(planes3(fk.G_ALB), 0.0)
-    color = frame.reshape(3, h, w)
-    if cfg.modulate_albedo:
-        safe = jnp.where(albedo > 1e-4, albedo, 1.0)
-        color = color / safe
-    else:
-        safe = jnp.ones_like(albedo)
-
     gb_planes = (plane(fk.G_PRIMR), planes3(fk.G_NORM), planes3(fk.G_POS))
     for level in range(cfg.eaw_levels):
-        color = dn.eaw_filter_level(color, gb_planes, cfg, level)
-    out = color * safe
-    return out.reshape(3, cfg.num_pixels // 128, 128)
+        if bands is not None and bands[level] is not None:
+            inp = jnp.concatenate([color, guide], axis=0)
+            color = ak.atrous_level_pallas(
+                inp, mode="eaw", level=level, width=w, height=h,
+                band=bands[level], sig_l=cfg.sig_luminance,
+                sig_n=cfg.sig_normal, sig_d=cfg.sig_depth,
+                interpret=interpret)
+        else:
+            color = dn.eaw_filter_level(
+                color.reshape(3, h, w), gb_planes, cfg, level
+            ).reshape(3, g, 128)
+    return color * safe
 
 
 def svgf_filter_packed(
@@ -216,7 +261,7 @@ def svgf_filter_packed(
         gb_pack, demod, svgf_prev.reshape(fk.SV_CH, cfg.num_pixels),
         interpret=interpret,
     )
-    return _svgf_wavelets(sv, gb_pack, safe, cfg)
+    return _svgf_wavelets(sv, gb_pack, safe, cfg, interpret=interpret)
 
 
 def _svgf_demod(frame, gb_pack, cfg: RenderConfig):
@@ -227,18 +272,27 @@ def _svgf_demod(frame, gb_pack, cfg: RenderConfig):
     return frame, jnp.ones_like(albedo)
 
 
-def _svgf_wavelets(sv, gb_pack, safe, cfg: RenderConfig):
+def _svgf_wavelets(sv, gb_pack, safe, cfg: RenderConfig,
+                   interpret: bool = False, use_pallas: bool = True):
     """Variance estimate + variance-guided wavelet chain on the
-    temporally-accumulated svgf pack (plane-based XLA — under
-    NamedSharding these shifts partition with automatic row halos)."""
+    temporally-accumulated svgf pack. The hot path runs each wavelet
+    level as a Pallas row-band kernel (variance estimate and the 3x3
+    variance prefilter stay XLA — single-channel 3x3s, not the tax);
+    the XLA plane chain remains the fallback and the sharded path
+    (use_pallas=False from parallel/fused_sharding.py, where the plane
+    shifts partition under NamedSharding with automatic row halos)."""
     from . import denoiser as dn
+    from ..ops.pallas import atrous_kernel as ak
 
     h, w = cfg.height, cfg.width
     g = cfg.num_pixels // 128
 
     moments = sv[fk.SV_M1:fk.SV_M1 + 3].reshape(3, h, w)
-    var = dn.svgf_estimate_variance(moments)
-    color = sv[fk.SV_COL:fk.SV_COL + 3].reshape(3, h, w)
+    var = dn.svgf_estimate_variance(moments).reshape(1, g, 128)
+    color = sv[fk.SV_COL:fk.SV_COL + 3]
+
+    bands = _atrous_bands(cfg, ak.C_SVGF) if use_pallas else None
+    guide = _guide_pack(gb_pack) if bands is not None else None
 
     def plane(i):
         return gb_pack[i].reshape(h, w)
@@ -249,11 +303,23 @@ def _svgf_wavelets(sv, gb_pack, safe, cfg: RenderConfig):
     gb_planes = (plane(fk.G_PRIMR), planes3(fk.G_NORM), planes3(fk.G_POS))
     history = color
     for level in range(cfg.eaw_levels):
-        color, var = dn.svgf_wavelet_level(color, var, gb_planes, cfg, level)
+        if bands is not None and bands[level] is not None:
+            fv = dn.svgf_filter_variance(
+                var.reshape(h, w)).reshape(1, g, 128)
+            inp = jnp.concatenate([color, guide, var, fv], axis=0)
+            out = ak.atrous_level_pallas(
+                inp, mode="svgf", level=level, width=w, height=h,
+                band=bands[level], sig_l=cfg.sig_luminance,
+                sig_n=cfg.svgf_sig_normal, sig_d=cfg.svgf_sig_depth,
+                interpret=interpret)
+            color, var = out[0:3], out[3:4]
+        else:
+            c_hw, v_hw = dn.svgf_wavelet_level(
+                color.reshape(3, h, w), var.reshape(h, w), gb_planes,
+                cfg, level)
+            color = c_hw.reshape(3, g, 128)
+            var = v_hw.reshape(1, g, 128)
         if level == 0:
             history = color
-    next_sv = sv.at[fk.SV_COL:fk.SV_COL + 3].set(
-        history.reshape(3, g, 128)
-    )
-    out = color.reshape(3, g, 128) * safe
-    return out, next_sv
+    next_sv = sv.at[fk.SV_COL:fk.SV_COL + 3].set(history)
+    return color * safe, next_sv

@@ -160,11 +160,16 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
 
         frame = accum
         svgf_pack = sv
+        # use_pallas=False: the XLA plane wavelets partition under
+        # NamedSharding with automatic row halos; a pallas_call here
+        # (outside shard_map) would force a gather of the sharded frame
         if cfg.denoiser == DenoiserType.EAW:
-            frame = fused.eaw_filter_packed(accum, gb, cfg)
+            frame = fused.eaw_filter_packed(accum, gb, cfg,
+                                            use_pallas=False)
         elif use_svgf:
             _, safe = fused._svgf_demod(accum, gb, cfg)
-            frame, svgf_pack = fused._svgf_wavelets(sv, gb, safe, cfg)
+            frame, svgf_pack = fused._svgf_wavelets(sv, gb, safe, cfg,
+                                                    use_pallas=False)
 
         next_state = FusedDIState(
             looper=state.looper + jnp.uint32(1),

@@ -528,11 +528,11 @@ def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
         pdf_s = jnp.where(
             is_lam, lam_pdf, jnp.where(is_met, met_pdf, 1.0)
         )
-        invalid = jnp.where(
-            is_lam, False,
-            jnp.where(is_met, met_invalid,
-                      jnp.where(is_die, die_invalid, True)),
-        )
+        # pure boolean algebra (a scalar-bool jnp.where lowers to an
+        # i8 -> i1 trunci Mosaic cannot compile): lambert never invalid,
+        # unknown types always invalid
+        invalid = ((is_met & met_invalid) | (is_die & die_invalid)
+                   | ~(is_lam | is_met | is_die))
         delta_sample = is_die & ~invalid  # SPECULAR flag lobes
 
         ok = alive & (~invalid) & (pdf_s >= 1e-8)

@@ -32,21 +32,31 @@ from ..scene.scene_data import SceneData
 class FusedDIState(NamedTuple):
     looper: jnp.ndarray  # uint32 scalar
     iteration: jnp.ndarray  # int32 scalar
-    accum: jnp.ndarray  # [3, R/128, 128] running-mean radiance
+    accum: jnp.ndarray  # [3, R/128, 128] running-mean direct radiance
     pt_pack: jnp.ndarray  # [PT_CH, R/128, 128] post-temporal reuse pack
     svgf_pack: jnp.ndarray  # [SV_CH, R/128, 128] (or [1,1,1] w/o SVGF)
+    accum_ind: jnp.ndarray  # [3, R/128, 128] indirect mean ([1,1,1] DI)
+    gi_q: jnp.ndarray  # [Q_CH, R/128, 128] GI resolve pack ([1,1,1] DI)
     last_camera: Camera
 
 
 def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     """Static gate for the fused path (everything else falls back to the
-    general models/restir_di.py pipeline)."""
+    general models/restir_di.py pipeline). RESTIR_GI rides the same
+    pipeline with the two GI kernels appended when the GI gate
+    (models/restir_gi.gi_resolve_fused_eligible) also passes."""
     from ..ops.intersect import _on_tpu
     from ..models.restir_di import resolve_ris_mode
 
+    if cfg.tracer == TracerType.RESTIR_GI:
+        from ..models.restir_gi import gi_resolve_fused_eligible
+
+        if not gi_resolve_fused_eligible(scene, cfg, cfg.num_pixels):
+            return False
+    elif cfg.tracer != TracerType.RESTIR_DI:
+        return False
     return (
-        cfg.tracer == TracerType.RESTIR_DI
-        and _on_tpu()
+        _on_tpu()
         and fk.eligible(cfg, cfg.has_env_map, cfg.with_textures)
         and resolve_ris_mode(cfg) == "cdf"
         and cfg.denoiser in (
@@ -69,12 +79,22 @@ def init_state(cfg: RenderConfig, cam: Camera) -> FusedDIState:
         svgf = svgf.at[fk.SV_PRIM].set(-1.0)
     else:
         svgf = jnp.zeros((1, 1, 1))
+    if cfg.tracer == TracerType.RESTIR_GI:
+        from ..ops.pallas import gi_kernel as gk
+
+        accum_ind = jnp.zeros((3, g, 128))
+        gi_q = jnp.zeros((gk.Q_CH, g, 128))
+    else:
+        accum_ind = jnp.zeros((1, 1, 1))
+        gi_q = jnp.zeros((1, 1, 1))
     return FusedDIState(
         looper=jnp.uint32(0),
         iteration=jnp.int32(0),
         accum=jnp.zeros((3, g, 128)),
         pt_pack=jnp.zeros((fk.PT_CH, g, 128)),
         svgf_pack=svgf,
+        accum_ind=accum_ind,
+        gi_q=gi_q,
         last_camera=cam,
     )
 
@@ -91,6 +111,8 @@ def reset_accumulation(state: FusedDIState) -> FusedDIState:
         accum=jnp.zeros_like(state.accum),
         pt_pack=jnp.zeros_like(state.pt_pack),
         svgf_pack=svgf,
+        accum_ind=jnp.zeros_like(state.accum_ind),
+        gi_q=jnp.zeros_like(state.gi_q),
     )
 
 
@@ -145,13 +167,26 @@ def step_fused(
         interpret=interpret,
     )
 
-    frame = accum
+    accum_ind = state.accum_ind
+    gi_q = state.gi_q
+    if cfg.tracer == TracerType.RESTIR_GI:
+        ind, gi_q = _gi_stage(scene, gb, state.gi_q, cfg, looper,
+                              interpret=interpret)
+        it_f = state.iteration.astype(jnp.float32)
+        if cfg.accumulate:
+            accum_ind = (state.accum_ind * it_f + ind) / (it_f + 1.0)
+        else:
+            accum_ind = ind
+        frame = accum + accum_ind
+    else:
+        frame = accum
+
     svgf_pack = state.svgf_pack
     if cfg.denoiser == DenoiserType.EAW:
-        frame = eaw_filter_packed(accum, gb, cfg, interpret=interpret)
+        frame = eaw_filter_packed(frame, gb, cfg, interpret=interpret)
     elif cfg.denoiser == DenoiserType.SVGF:
         frame, svgf_pack = svgf_filter_packed(
-            accum, gb, state.svgf_pack, cfg, interpret=interpret
+            frame, gb, state.svgf_pack, cfg, interpret=interpret
         )
 
     next_state = FusedDIState(
@@ -160,9 +195,65 @@ def step_fused(
         accum=accum,
         pt_pack=pt,
         svgf_pack=svgf_pack,
+        accum_ind=accum_ind,
+        gi_q=gi_q,
         last_camera=cam,
     )
     return next_state, frame
+
+
+def _gi_stage(scene, gb, gi_q, cfg: RenderConfig, looper,
+              interpret: bool = False):
+    """ReSTIR GI over the fused G-buffer pack: the trace and resolve
+    kernels consume gb-pack channel rows directly (no [R, 3] structs,
+    no band split — reference ReSTIRIndirectKernel restir.cu:242-416).
+    Returns (indirect radiance [3, R/128, 128], next resolve pack)."""
+    from ..ops.pallas import gi_kernel as gk
+
+    g = gb.shape[1]
+    r = g * 128
+
+    # per-pixel ior from the material table via matId where-chains (the
+    # gb pack carries type/metal/rough but not ior; the table is tiny)
+    matid = gb[fk.G_PRIMR]
+    ior = jnp.zeros_like(matid)
+    for mi in range(scene.mat_attr.shape[0]):
+        ior = jnp.where(matid == float(mi), scene.mat_attr[mi, 6], ior)
+
+    zero1 = jnp.zeros((1, g, 128), jnp.float32)
+    in_pack = jnp.concatenate([
+        gb[fk.G_POS:fk.G_POS + 3],
+        gb[fk.G_NORM:fk.G_NORM + 3],
+        gb[fk.G_DIR:fk.G_DIR + 3],
+        gb[fk.G_MTYPE:fk.G_MTYPE + 1],
+        gb[fk.G_METAL:fk.G_METAL + 1],
+        gb[fk.G_ROUGH:fk.G_ROUGH + 1],
+        ior[None],
+        gb[fk.G_SHADE:fk.G_SHADE + 1],  # alive = valid & ~is_light
+        zero1, zero1,
+    ], axis=0)
+    go = gk.gi_trace_pallas(
+        in_pack, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, scene.light_prob, scene.light_alias,
+        scene.light_prim_ids, scene.light_radiance,
+        scene.sum_light_power_inv,
+        depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
+        n_lights=int(scene.light_prob.shape[0]), pix0=0,
+        interpret=interpret,
+    )
+    gq = jnp.concatenate([
+        gb[fk.G_MOTION:fk.G_MOTION + 1],
+        gb[fk.G_PRIMR:fk.G_PRIMR + 1],
+        gb[fk.G_DEPTH:fk.G_DEPTH + 1],
+        gb[fk.G_NORM:fk.G_NORM + 3],
+        gb[fk.G_ALB:fk.G_ALB + 3],
+        gb[fk.G_SHADE:fk.G_SHADE + 1],
+    ], axis=0)
+    return gk.gi_resolve_pallas(
+        go, in_pack, gq, gi_q.reshape(gk.Q_CH, r), looper,
+        temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
+        temporal_clamp=cfg.temporal_clamp, interpret=interpret,
+    )
 
 
 def _atrous_bands(cfg: RenderConfig, c_in: int):

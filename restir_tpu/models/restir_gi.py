@@ -68,19 +68,9 @@ def gi_fused_eligible(scene: SceneData, cfg: RenderConfig,
     )
 
 
-def trace_gi_sample_fused(
-    scene: SceneData,
-    it,
-    mat,
-    ray_dir,
-    cfg: RenderConfig,
-    looper,
-    pix0,
-    interpret: bool = False,
-):
-    """Fused-kernel twin of trace_gi_sample (lane-for-lane parity
-    asserted in tests/test_gi_fused.py). `pix0` is the global index of
-    the first ray (band slices are contiguous)."""
+def _build_gi_in_pack(it, mat, ray_dir):
+    """[IN_CH, R/128, 128] trace-kernel input pack from the primary-hit
+    structs (pads partial 1024-ray tiles)."""
     from ..ops.pallas import gi_kernel as gk
 
     r = it.pos.shape[0]
@@ -99,7 +89,26 @@ def trace_gi_sample_fused(
         in_pack = jnp.concatenate(
             [in_pack, jnp.zeros((gk.IN_CH, rp - r), jnp.float32)], axis=1
         )
-    in_pack = in_pack.reshape(gk.IN_CH, rp // 128, 128)
+    return in_pack.reshape(gk.IN_CH, rp // 128, 128)
+
+
+def trace_gi_sample_fused(
+    scene: SceneData,
+    it,
+    mat,
+    ray_dir,
+    cfg: RenderConfig,
+    looper,
+    pix0,
+    interpret: bool = False,
+):
+    """Fused-kernel twin of trace_gi_sample (lane-for-lane parity
+    asserted in tests/test_gi_fused.py). `pix0` is the global index of
+    the first ray (band slices are contiguous)."""
+    from ..ops.pallas import gi_kernel as gk
+
+    r = it.pos.shape[0]
+    in_pack = _build_gi_in_pack(it, mat, ray_dir)
     out = gk.gi_trace_pallas(
         in_pack, looper, scene.tri_xform, scene.prim_attr,
         scene.mat_attr, scene.light_prob, scene.light_alias,
@@ -271,6 +280,69 @@ def trace_gi_sample(
     return sample, prim_pdf, prim_delta, valid
 
 
+def gi_resolve_fused_eligible(scene: SceneData, cfg: RenderConfig,
+                              r: int) -> bool:
+    """Static gate for the FULLY fused GI pipeline (trace kernel +
+    resolve kernel, no whole-frame [R, 3] reservoir ops): the trace
+    kernel's eligibility plus whole 1024-ray frames. The windowed
+    temporal gather inherits the fused-DI deviation (pixels whose
+    motion index falls outside the 2048-window lose temporal reuse)."""
+    return gi_fused_eligible(scene, cfg, r) and r % 1024 == 0
+
+
+def restir_indirect_fused(
+    scene: SceneData,
+    gb: GBufferFrame,
+    it,
+    mat,
+    ray_dir,
+    q_prev: jnp.ndarray,  # [Q_CH, R] flat resolve pack
+    cfg: RenderConfig,
+    looper,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully fused ReSTIR GI frame: the trace kernel's output pack feeds
+    the resolve kernel (RIS + windowed temporal merge + clamp + shade)
+    directly — no [R, 3] reservoir ops, no band split (reference: one
+    fused ReSTIRIndirectKernel, restir.cu:242-416). Returns (indirect
+    [R, 3], next resolve pack [Q_CH, R])."""
+    from ..ops.pallas import gi_kernel as gk
+
+    r = it.pos.shape[0]
+    in_pack = _build_gi_in_pack(it, mat, ray_dir)
+    go = gk.gi_trace_pallas(
+        in_pack, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, scene.light_prob, scene.light_alias,
+        scene.light_prim_ids, scene.light_radiance,
+        scene.sum_light_power_inv,
+        depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
+        n_lights=int(scene.light_prob.shape[0]), pix0=0,
+        interpret=interpret,
+    )
+    shade = it.valid & (gb.prim_id != LIGHT_ID)
+    gq = jnp.stack([
+        gb.motion.astype(jnp.float32), gb.prim_id.astype(jnp.float32),
+        gb.depth, gb.norm[:, 0], gb.norm[:, 1], gb.norm[:, 2],
+        gb.albedo[:, 0], gb.albedo[:, 1], gb.albedo[:, 2],
+        shade.astype(jnp.float32),
+    ], axis=0).reshape(gk.GQ_CH, r // 128, 128)
+    ind, q = gk.gi_resolve_pallas(
+        go, in_pack, gq, q_prev, looper,
+        temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
+        temporal_clamp=cfg.temporal_clamp, interpret=interpret,
+    )
+    return ind.reshape(3, r).T, q.reshape(gk.Q_CH, r)
+
+
+def init_gi_resolve_pack(r: int) -> jnp.ndarray:
+    """Zeroed [Q_CH, R] resolve pack. Zeros are a safe empty history:
+    the stored normal (0,0,0) fails the |dot| >= 0.9 similarity test, so
+    the first frame never merges it."""
+    from ..ops.pallas import gi_kernel as gk
+
+    return jnp.zeros((gk.Q_CH, r), jnp.float32)
+
+
 def restir_indirect(
     scene: SceneData,
     gb: GBufferFrame,
@@ -290,7 +362,16 @@ def restir_indirect(
     per-pixel input is then the matching slice, while `res_in` and
     `last_gb` stay full-frame (the temporal motion gather may index any
     previous pixel). RNG streams use the global indices, so a banded
-    render is bit-identical to a whole-frame one."""
+    render is bit-identical to a whole-frame one.
+
+    When `res_in` is a raw [Q_CH, R] array (the fused resolve pack the
+    renderer's init_state builds on eligible TPU configs), the whole
+    frame routes through the fully fused kernel pipeline instead."""
+    if isinstance(res_in, jnp.ndarray):
+        assert pix is None, "fused GI is whole-frame (no band split)"
+        return restir_indirect_fused(
+            scene, gb, it, mat, ray_dir, res_in, cfg, looper
+        )
     if pix is None:
         pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
     R = pix.shape[0]

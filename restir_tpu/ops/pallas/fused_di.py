@@ -540,8 +540,8 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     put(G_Y, y)
 
 
-def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
-                             xv_ref, xw_ref, attr_ref, mat_ref, env_ref,
+def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
+                             attr_ref, mat_ref, env_ref,
                              atlas_ref, texmeta_ref, out_ref,
                              *, n_pad, nb, m_pad, width, height, aa_jitter,
                              single_sided, has_env, with_textures):
@@ -570,22 +570,29 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xu_ref,
     # kernels): sublane reductions replace lane reductions, and the
     # winner's attribute row is fetched ONCE after the loop in the
     # transposed [ATTR_COLS, B] form the epilogue consumes 1-D.
-    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)  # [4, B]
-    dh4 = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=0)
-    oh4_split, dh4_split = _hi_lo(oh4), _hi_lo(dh4)
+    # The K=4 homogeneous dots run as VPU FMA chains over lane-broadcast
+    # plane coefficients, NOT MXU matmuls: a K=4 contraction pads K to
+    # 128 (32x MAC waste) and needs 3 bf16-split passes for f32 — the
+    # FMA form measured 1.7x faster at this exact shape (prof/prof_fma)
+    # and is natively f32-exact.
+    oxr, oyr, ozr = (v.reshape(1, b) for v in (ox, oy, oz))
+    dxr, dyr, dzr = (v.reshape(1, b) for v in (dx, dy, dz))
+
+    def bc(xp, lo):
+        # [nb, 1] coefficient column -> broadcast along lanes
+        return jnp.broadcast_to(xp[:, lo:lo + 1], (nb, b))
 
     def body(i, carry):
         best_dist, best_prim, best_u, best_v = carry
-        col = pl.multiple_of(i * nb, nb)
-        xu = xu_ref[:, pl.ds(col, nb)]
-        xv = xv_ref[:, pl.ds(col, nb)]
-        xw = xw_ref[:, pl.ds(col, nb)]
-        oou = dot_f32x3(xu.T, None, b_split=oh4_split)  # [nb, B]
-        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
-        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
-        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
-        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
-        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
+        row = pl.multiple_of(i * nb, nb)
+        xp = xpt_ref[pl.ds(row, nb), :]  # [nb, 128] tri-major planes
+        oou = bc(xp, 0) * oxr + bc(xp, 1) * oyr + bc(xp, 2) * ozr + bc(xp, 3)
+        oov = bc(xp, 4) * oxr + bc(xp, 5) * oyr + bc(xp, 6) * ozr + bc(xp, 7)
+        oow = (bc(xp, 8) * oxr + bc(xp, 9) * oyr + bc(xp, 10) * ozr
+               + bc(xp, 11))
+        ddu = bc(xp, 0) * dxr + bc(xp, 1) * dyr + bc(xp, 2) * dzr
+        ddv = bc(xp, 4) * dxr + bc(xp, 5) * dyr + bc(xp, 6) * dzr
+        ddw = bc(xp, 8) * dxr + bc(xp, 9) * dyr + bc(xp, 10) * dzr
         nondeg = jnp.abs(ddw) >= 1e-12
         t = -oow / jnp.where(nondeg, ddw, 1.0)
         u = oou + t * ddu
@@ -658,11 +665,14 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         aa_jitter=aa_jitter,
     )
 
-    # --- closest hit over triangle blocks (bf16-split matmuls,
-    # tris-on-sublanes orientation — see _gbuffer_kernel_resident)
-    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)  # [4, B]
-    dh4 = jnp.stack([dx, dy, dz, jnp.zeros_like(ox)], axis=0)
-    oh4_split, dh4_split = _hi_lo(oh4), _hi_lo(dh4)
+    # --- closest hit over triangle blocks (VPU FMA chains over lane-
+    # broadcast plane coefficients — see _gbuffer_kernel_resident)
+    oxr, oyr, ozr = (v.reshape(1, b) for v in (ox, oy, oz))
+    dxr, dyr, dzr = (v.reshape(1, b) for v in (dx, dy, dz))
+
+    def bcp(xp, lo, m):
+        return jnp.broadcast_to(xp[:, lo:lo + 1], (m, b))
+
     tiny = 1e-12
     inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, tiny, dx)
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, tiny, dy)
@@ -691,8 +701,8 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         for hk, c in ((0, c0), (1, c1)):
             col = pl.multiple_of(c * nb, nb)
             pltpu.make_async_copy(
-                xp_hbm_ref.at[:, pl.ds(col, nb)],
-                xpb_ref.at[slot, :, hk * nb:(hk + 1) * nb],
+                xp_hbm_ref.at[pl.ds(col, nb), :],
+                xpb_ref.at[slot, hk * nb:(hk + 1) * nb, :],
                 geo_sem.at[slot, 2 * hk],
             ).start()
             pltpu.make_async_copy(
@@ -706,8 +716,8 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         for hk, c in ((0, c0), (1, c1)):
             col = pl.multiple_of(c * nb, nb)
             pltpu.make_async_copy(
-                xp_hbm_ref.at[:, pl.ds(col, nb)],
-                xpb_ref.at[slot, :, hk * nb:(hk + 1) * nb],
+                xp_hbm_ref.at[pl.ds(col, nb), :],
+                xpb_ref.at[slot, hk * nb:(hk + 1) * nb, :],
                 geo_sem.at[slot, 2 * hk],
             ).wait()
             pltpu.make_async_copy(
@@ -758,15 +768,20 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
 
         def test_cluster(carry):
             best_dist, best_prim, best_u, best_v, best_attr = carry
-            xu = xpb_ref[slot, 0:4, :]  # [4, 2*nb]
-            xv = xpb_ref[slot, 4:8, :]
-            xw = xpb_ref[slot, 8:12, :]
-            oou = dot_f32x3(xu.T, None, b_split=oh4_split)  # [2nb, B]
-            oov = dot_f32x3(xv.T, None, b_split=oh4_split)
-            oow = dot_f32x3(xw.T, None, b_split=oh4_split)
-            ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
-            ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
-            ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
+            xp = xpb_ref[slot]  # [2*nb, 128] tri-major planes
+            m2 = 2 * nb
+            oou = (bcp(xp, 0, m2) * oxr + bcp(xp, 1, m2) * oyr
+                   + bcp(xp, 2, m2) * ozr + bcp(xp, 3, m2))
+            oov = (bcp(xp, 4, m2) * oxr + bcp(xp, 5, m2) * oyr
+                   + bcp(xp, 6, m2) * ozr + bcp(xp, 7, m2))
+            oow = (bcp(xp, 8, m2) * oxr + bcp(xp, 9, m2) * oyr
+                   + bcp(xp, 10, m2) * ozr + bcp(xp, 11, m2))
+            ddu = (bcp(xp, 0, m2) * dxr + bcp(xp, 1, m2) * dyr
+                   + bcp(xp, 2, m2) * dzr)
+            ddv = (bcp(xp, 4, m2) * dxr + bcp(xp, 5, m2) * dyr
+                   + bcp(xp, 6, m2) * dzr)
+            ddw = (bcp(xp, 8, m2) * dxr + bcp(xp, 9, m2) * dyr
+                   + bcp(xp, 10, m2) * dzr)
             nondeg = jnp.abs(ddw) >= 1e-12
             t = -oow / jnp.where(nondeg, ddw, 1.0)
             u = oou + t * ddu
@@ -973,9 +988,11 @@ def gbuffer_pack_pallas(
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
     n_pad = _round_up(max(n, nb), nb)
     xu, xv, xw = _split_planes(tri_xform, n_pad)
+    # tri-major plane table [n_pad, 128] (cols 0:4 xu, 4:8 xv, 8:12 xw;
+    # zero lanes pad to the tile) — per-cluster DMAs slice SUBLANE rows
+    # and feed the FMA hit chains directly (see _gbuffer_kernel_resident)
     xplanes = jnp.concatenate(
-        [xu, xv, xw, jnp.zeros((4, n_pad), xu.dtype)], axis=0
-    )  # [16, n_pad] (HBM; padded to an (8,128)-aligned sublane count)
+        [xu, xv, xw, jnp.zeros((116, n_pad), xu.dtype)], axis=0).T
     # attr + material tables travel TRANSPOSED (attributes on sublanes)
     # so winner fetches land as [ATTR_COLS, B] and the epilogue runs on
     # 1-D row vectors (see _gbuffer_epilogue)
@@ -999,6 +1016,10 @@ def gbuffer_pack_pallas(
         nb_res = min(256, n_pad)
         n_pad_res = _round_up(n_pad, nb_res)
         xu, xv, xw = _split_planes(tri_xform, n_pad_res)
+        # tri-major plane table for the FMA hit chains (cols 0:4 xu,
+        # 4:8 xv, 8:12 xw; zero lanes pad to the 128-lane tile)
+        xpt_res = jnp.concatenate(
+            [xu, xv, xw, jnp.zeros((116, n_pad_res), xu.dtype)], axis=0).T
         attr_res = prim_attr
         if n_pad_res != attr_res.shape[0]:
             attr_res = jnp.concatenate([
@@ -1026,9 +1047,8 @@ def gbuffer_pack_pallas(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((2, _TILE // 128, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full1, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full1, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full1, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad_res, 128), full1,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((ATTR_COLS, n_pad_res), full1,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((MAT_COLS, m_pad), full1, memory_space=pltpu.VMEM),
@@ -1050,7 +1070,7 @@ def gbuffer_pack_pallas(
         )(cam_vec, lcam_vec,
           jnp.asarray(jnp.stack([jnp.asarray(looper, jnp.uint32),
                                   jnp.asarray(pix0, jnp.uint32)])),
-          xy, xu, xv, xw, attr_res, mat_t, env8, atlas, meta_t)
+          xy, xpt_res, attr_res, mat_t, env8, atlas, meta_t)
         return out
 
     # per-tile frustum-culled cluster work lists (front-to-back)
@@ -1107,7 +1127,7 @@ def gbuffer_pack_pallas(
         scratch_shapes=[
             pltpu.SMEM((kp,), jnp.int32),
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((2, 16, 2 * nb), jnp.float32),
+            pltpu.VMEM((2, 2 * nb, 128), jnp.float32),
             pltpu.VMEM((2, ATTR_COLS, 2 * nb), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
@@ -1422,30 +1442,19 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
     def ch(i):
         return rp_ref[i, :, :].reshape(b)
 
-    ox, oy, oz = ch(RP_O), ch(RP_O + 1), ch(RP_O + 2)
-    dx, dy, dz = ch(RP_D), ch(RP_D + 1), ch(RP_D + 2)
-    limit = ch(RP_LIM)
+    oxr = ch(RP_O).reshape(1, b)
+    oyr = ch(RP_O + 1).reshape(1, b)
+    ozr = ch(RP_O + 2).reshape(1, b)
+    dxr = ch(RP_D).reshape(1, b)
+    dyr = ch(RP_D + 1).reshape(1, b)
+    dzr = ch(RP_D + 2).reshape(1, b)
+    limit = ch(RP_LIM).reshape(1, b)
     prim_origin = ch(RP_PRIM).astype(jnp.int32)
     live = ch(RP_LIVE) > 0.5
 
-    z = jnp.zeros_like(ox)
-    ones = jnp.ones_like(ox)
+    def bcp(xp, lo):
+        return jnp.broadcast_to(xp[:, lo:lo + 1], (256, b))
 
-    def od16(shift):
-        # [16, 2B]: rows shift:shift+4 carry (x, y, z, w) of the ray
-        # origin (first B lanes, w=1) and direction (last B, w=0)
-        pre, post = [z] * shift, [z] * (12 - shift)
-        o = jnp.stack(pre + [ox, oy, oz, ones] + post, axis=0)
-        d = jnp.stack(pre + [dx, dy, dz, z] + post, axis=0)
-        return jnp.concatenate([o, d], axis=1)
-
-    cat3 = jnp.concatenate([od16(0), od16(4), od16(8)], axis=1)  # [16, 6B]
-    # zero-pad the contraction dim to the full 128-lane LHS width (the
-    # MXU pads K to 128 either way — see the xplanes_t layout note)
-    cat3 = jnp.concatenate(
-        [cat3, jnp.zeros((112, cat3.shape[1]), cat3.dtype)], axis=0
-    )
-    cat3_split = _hi_lo(cat3)
     ids_dma.wait()
     vcount = vcounts_ref[tile_id]
     nflush = (vcount + 7) // 8
@@ -1473,11 +1482,16 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
 
         fetch(f, slot, True)
 
-        lhs = xpb_ref[slot]  # [256, 128] = 8 blocks x 32 tris, 12 planes
-        out3 = dot_f32x3(lhs, None, b_split=cat3_split)  # [256, 6B]
-        oou, ddu = out3[:, 0:b], out3[:, b:2 * b]
-        oov, ddv = out3[:, 2 * b:3 * b], out3[:, 3 * b:4 * b]
-        oow, ddw = out3[:, 4 * b:5 * b], out3[:, 5 * b:6 * b]
+        xp = xpb_ref[slot]  # [256, 128] = 8 blocks x 32 tris, tri-major
+        oou = bcp(xp, 0) * oxr + bcp(xp, 1) * oyr + bcp(xp, 2) * ozr \
+            + bcp(xp, 3)
+        oov = bcp(xp, 4) * oxr + bcp(xp, 5) * oyr + bcp(xp, 6) * ozr \
+            + bcp(xp, 7)
+        oow = bcp(xp, 8) * oxr + bcp(xp, 9) * oyr + bcp(xp, 10) * ozr \
+            + bcp(xp, 11)
+        ddu = bcp(xp, 0) * dxr + bcp(xp, 1) * dyr + bcp(xp, 2) * dzr
+        ddv = bcp(xp, 4) * dxr + bcp(xp, 5) * dyr + bcp(xp, 6) * dzr
+        ddw = bcp(xp, 8) * dxr + bcp(xp, 9) * dyr + bcp(xp, 10) * dzr
         nondeg = jnp.abs(ddw) >= 1e-12
         tt = -oow / jnp.where(nondeg, ddw, 1.0)
         uu = oou + tt * ddu
@@ -1493,7 +1507,7 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
         blocked = (
             nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0)
             & (uu + vv <= 1.0)
-            & (tt < limit[None, :])
+            & (tt < limit)
             & (row != exrow[None, :])
         )
         return jnp.maximum(
@@ -1545,7 +1559,7 @@ def _merge_sorted_kernel(w0_ref, gb_ref, rs_ref, occ_ref, prev_ref,
     )
 
 
-def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xu_ref, xv_ref, xw_ref,
+def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xpt_ref,
                          prev_ref, looper_ref, out_ref, win_ref, sem,
                          *, k, nb, n_pad, window, temporal, temporal_clamp):
     """Small-scene variant of _vis_temporal_kernel: triangle planes are
@@ -1583,26 +1597,30 @@ def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xu_ref, xv_ref, xw_ref,
     r_m = jnp.where(shade, float(k), 0.0)
 
     # winner visibility (restir.cu:172-176), brute over resident blocks
-    ox = px + r_wi_x * 1e-5
-    oy = py + r_wi_y * 1e-5
-    oz = pz + r_wi_z * 1e-5
-    limit = r_dist * (1.0 - 1e-3) - 1e-4
-    oh4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)
-    dh4 = jnp.stack([r_wi_x, r_wi_y, r_wi_z, jnp.zeros_like(ox)], axis=0)
-    oh4_split = _hi_lo(oh4)
-    dh4_split = _hi_lo(dh4)
+    # as VPU FMA chains over lane-broadcast plane coefficients (see
+    # _gbuffer_kernel_resident: 1.7x over the K=4-padded MXU form)
+    oxr = (px + r_wi_x * 1e-5).reshape(1, b)
+    oyr = (py + r_wi_y * 1e-5).reshape(1, b)
+    ozr = (pz + r_wi_z * 1e-5).reshape(1, b)
+    dxr = r_wi_x.reshape(1, b)
+    dyr = r_wi_y.reshape(1, b)
+    dzr = r_wi_z.reshape(1, b)
+    limit = (r_dist * (1.0 - 1e-3) - 1e-4).reshape(1, b)
+    prim_o = prim_origin.reshape(1, b)
+
+    def bc(xp, lo):
+        return jnp.broadcast_to(xp[:, lo:lo + 1], (nb, b))
 
     def vis_body(i, occluded):
-        col = pl.multiple_of(i * nb, nb)
-        xu = xu_ref[:, pl.ds(col, nb)]
-        xv = xv_ref[:, pl.ds(col, nb)]
-        xw = xw_ref[:, pl.ds(col, nb)]
-        oou = dot_f32x3(xu.T, None, b_split=oh4_split)
-        oov = dot_f32x3(xv.T, None, b_split=oh4_split)
-        oow = dot_f32x3(xw.T, None, b_split=oh4_split)
-        ddu = dot_f32x3(xu.T, None, b_split=dh4_split)
-        ddv = dot_f32x3(xv.T, None, b_split=dh4_split)
-        ddw = dot_f32x3(xw.T, None, b_split=dh4_split)
+        row = pl.multiple_of(i * nb, nb)
+        xp = xpt_ref[pl.ds(row, nb), :]  # [nb, 128] tri-major planes
+        oou = bc(xp, 0) * oxr + bc(xp, 1) * oyr + bc(xp, 2) * ozr + bc(xp, 3)
+        oov = bc(xp, 4) * oxr + bc(xp, 5) * oyr + bc(xp, 6) * ozr + bc(xp, 7)
+        oow = (bc(xp, 8) * oxr + bc(xp, 9) * oyr + bc(xp, 10) * ozr
+               + bc(xp, 11))
+        ddu = bc(xp, 0) * dxr + bc(xp, 1) * dyr + bc(xp, 2) * dzr
+        ddv = bc(xp, 4) * dxr + bc(xp, 5) * dyr + bc(xp, 6) * dzr
+        ddw = bc(xp, 8) * dxr + bc(xp, 9) * dyr + bc(xp, 10) * dzr
         nondeg = jnp.abs(ddw) >= 1e-12
         tt = -oow / jnp.where(nondeg, ddw, 1.0)
         uu = oou + tt * ddu
@@ -1611,17 +1629,18 @@ def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xu_ref, xv_ref, xw_ref,
         blocked = (
             nondeg & (tt > 0.0) & (uu >= 0.0) & (vv >= 0.0)
             & (uu + vv <= 1.0)
-            & (tt < limit[None, :])
-            & (tri_ids != prim_origin[None, :])
+            & (tt < limit)
+            & (tri_ids != prim_o)
         )
         return jnp.maximum(
-            occluded, jnp.max(blocked.astype(jnp.float32), axis=0)
+            occluded, jnp.max(blocked.astype(jnp.float32), axis=0,
+                              keepdims=True)
         )
 
     occluded = jax.lax.fori_loop(
-        0, n_pad // nb, vis_body, jnp.zeros_like(r_weight)
+        0, n_pad // nb, vis_body, jnp.zeros((1, b), jnp.float32)
     )
-    r_weight = jnp.where(occluded > 0.5, 0.0, r_weight)
+    r_weight = jnp.where(occluded.reshape(b) > 0.5, 0.0, r_weight)
 
     _temporal_merge_pack(
         gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem, looper, pix,
@@ -1941,10 +1960,12 @@ def reuse_pallas(
     # extended by halos and prev_base is the global pixel index of its
     # first column: rebase motion so all window math is pack-local
     r_prev = prev_pack.shape[1]
-    mo = gb_pack[G_MOTION]
-    gb_pack = gb_pack.at[G_MOTION].set(
-        jnp.where(mo >= 0.0, mo - jnp.float32(prev_base), mo)
-    )
+    if not (isinstance(prev_base, int) and prev_base == 0):
+        # single-chip callers pass a static 0: skip the whole-pack copy
+        mo = gb_pack[G_MOTION]
+        gb_pack = gb_pack.at[G_MOTION].set(
+            jnp.where(mo >= 0.0, mo - jnp.float32(prev_base), mo)
+        )
     nl = light_verts.shape[0]
     n_env = env_tile_rad.shape[0] if has_env else 0
     l_pad = _round_up(max(nl + n_env, 128), 128)
@@ -2049,6 +2070,10 @@ def reuse_pallas(
         nb_res = min(256, n_pad)
         n_pad_res = _round_up(n_pad, nb_res)
         xu_r, xv_r, xw_r = _split_planes(tri_xform, n_pad_res)
+        # tri-major plane table for the FMA hit chains (see kernel G)
+        xpt_r = jnp.concatenate(
+            [xu_r, xv_r, xw_r, jnp.zeros((116, n_pad_res), xu_r.dtype)],
+            axis=0).T
         r2 = functools.partial(
             _vis_resident_kernel, k=k, nb=nb_res, n_pad=n_pad_res,
             window=window, temporal=temporal, temporal_clamp=temporal_clamp,
@@ -2061,9 +2086,8 @@ def reuse_pallas(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((RS_CH, tg, 128), lambda i, *_: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full_p, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full_p, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, n_pad_res), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad_res, 128), full_p,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -2084,7 +2108,7 @@ def reuse_pallas(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(w0, gb_pack, rs, xu_r, xv_r, xw_r, prev_pack, _lp2(looper, pix0))
+        )(w0, gb_pack, rs, xpt_r, prev_pack, _lp2(looper, pix0))
 
     # ---- kernel R2a: wavefront-sorted winner visibility (streams only
     # the 32-tri sub-blocks the tile's coherent rays truly cross)
@@ -2257,9 +2281,11 @@ def svgf_temporal_pallas(gb_pack, color, prev_svgf, window: int = 2048,
     r_prev = prev_svgf.shape[1]
 
     motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
-    motion = jnp.where(motion >= 0, motion - prev_base, motion)
-    gb_pack = gb_pack.at[G_MOTION].set(
-        motion.astype(jnp.float32).reshape(g, 128))
+    if not (isinstance(prev_base, int) and prev_base == 0):
+        # single-chip callers pass a static 0: skip the whole-pack copy
+        motion = jnp.where(motion >= 0, motion - prev_base, motion)
+        gb_pack = gb_pack.at[G_MOTION].set(
+            motion.astype(jnp.float32).reshape(g, 128))
     miss = gb_pack[G_MISS].reshape(n_tiles, _TILE) > 0.5
     m_valid = jnp.where((motion >= 0) & ~miss, motion, r_prev)
     w0 = jnp.min(m_valid, axis=1)

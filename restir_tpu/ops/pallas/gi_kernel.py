@@ -38,7 +38,7 @@ from .intersect_kernel import (
     dot_f32x3,
 )
 from .fused_di import _procedural_tex
-from .ris_kernel import _pcg4d, _unit
+from .ris_kernel import _eval_bsdf_lum, _pcg4d, _unit
 
 # material types (scene/scene_data.py)
 _LAMBERTIAN = 0.0
@@ -83,8 +83,36 @@ GO_DELTA = 13  # primary bounce was a delta lobe
 GO_CH = 16
 
 # GI pass RNG counters (models/restir_gi)
+_CTR_UPDATE = 0
+_CTR_TEMPORAL = 1
 _CTR_PATH = 2
 _SALT_GI = 0x04
+
+# ---- resolve-pack channels: the GI reservoir + similarity attrs
+# carried between frames ([Q_CH, R] flat), the fused twin of
+# RenderState.gi_reservoir + last_gb (restir.h:13-27 IndirectLiSample)
+Q_LO = 0  # 3: sample outgoing radiance Lo
+Q_XV = 3  # 3: visible point
+Q_NV = 6  # 3: its normal
+Q_XS = 9  # 3: sample point
+Q_NS = 12  # 3: its normal
+Q_W = 15  # cumulative resampling weight
+Q_M = 16  # history length (int carried as f32)
+Q_PRIM = 17  # similarity attrs of the frame that wrote the pack
+Q_GNORM = 18  # 3
+Q_DEPTH = 21
+Q_CH = 24  # padded (22 used)
+
+# ---- per-frame G-buffer rows the resolve kernel consumes
+GQ_MOTION = 0
+GQ_PRIM = 1
+GQ_DEPTH = 2
+GQ_NORM = 3  # 3
+GQ_ALB = 6  # 3
+GQ_SHADE = 9  # it.valid & (gb.prim_id != LIGHT_ID)
+GQ_CH = 10
+
+_NULL_PRIM = -1.0  # intersect.NULL_PRIMITIVE
 
 # light-table rows (built by the wrapper)
 LT_PROB = 0
@@ -646,19 +674,32 @@ def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "depth", "single_sided", "n_lights", "interpret"))
+    "depth", "single_sided", "n_lights", "tile", "interpret"))
 def gi_trace_pallas(
     in_pack, looper, tri_xform, prim_attr, mat_attr,
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
-    pix0=0, interpret: bool = False,
+    pix0=0, tile: int = 1024, interpret: bool = False,
 ):
     """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
-    Returns [GO_CH, R/128, 128]."""
+    Returns [GO_CH, R/128, 128].
+
+    `tile` = rays per grid step. The kernel body is a long 1-D scalar
+    chain (~1500 ops over the unrolled bounce loop) whose cost at
+    tile=1024 is Mosaic per-op dispatch, not compute — wider tiles
+    amortize it (445 -> 162 ms/frame at 1080p from 1024 -> 4096,
+    prof/prof_gi_tile.py). Inputs not a tile multiple are zero-padded
+    here and sliced back."""
     from .fused_di import _lp2, _round_up, _split_planes
 
-    g = in_pack.shape[1]
+    g_in = in_pack.shape[1]
+    tg = tile // 128
+    g = _round_up(g_in, tg)
+    if g != g_in:
+        in_pack = jnp.concatenate(
+            [in_pack, jnp.zeros((IN_CH, g - g_in, 128), in_pack.dtype)],
+            axis=1)
     n_tri = tri_xform.shape[1] // 3
     n_pad = _round_up(max(n_tri, 128), 128)
     assert n_pad <= 1024, "fused GI is for VMEM-resident scenes"
@@ -689,14 +730,13 @@ def gi_trace_pallas(
          jnp.float32(0.0)]
     )
 
-    n_tiles = g // 8
-    tg = 8
+    n_tiles = g // tg
     full_p = lambda i: (0, 0)  # noqa: E731
     kern = functools.partial(
         _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
         n_lights=n_lights, depth=depth, single_sided=single_sided,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
@@ -724,3 +764,291 @@ def gi_trace_pallas(
         ),
         interpret=interpret,
     )(_lp2(looper, pix0), in_pack, xu, xv, xw, attr_t, mat_t, lt, scal)
+    return out[:, :g_in] if g != g_in else out
+
+
+# ---------------------------------------------------------------------------
+# GI resolve kernel: RIS update + temporal merge + clamp + shade
+# (models/restir_gi.restir_indirect steps 3-5; reference
+# ReSTIRIndirectKernel restir.cu:375-408). One kernel per 1024-ray
+# tile over the trace-output pack — the [R, 3] whole-frame reservoir
+# ops this replaces pad 43x under (8,128) tiling (BASELINE.md round 3).
+
+
+def _gi_resolve_kernel(w0_ref, go_ref, in_ref, gq_ref, prev_ref,
+                       looper_ref, q_ref, ind_ref, win_ref, sem,
+                       *, window, temporal, temporal_clamp):
+    cg = go_ref.shape[1]
+    b = cg * 128
+    tile_id = pl.program_id(0)
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
+    looper = looper_ref[0]
+
+    if temporal:
+        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        dma = pltpu.make_async_copy(
+            prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
+        )
+        dma.start()
+
+    def go(i):
+        return go_ref[i, :, :].reshape(b)
+
+    def inn(i):
+        return in_ref[i, :, :].reshape(b)
+
+    def gq(i):
+        return gq_ref[i, :, :].reshape(b)
+
+    def _bad(x):
+        return jnp.isnan(x) | jnp.isinf(x)
+
+    # ---- trace output -> candidate sample (wrapper epilogue of
+    # trace_gi_sample_fused, lane-exact)
+    lx, ly, lz = go(GO_LO), go(GO_LO + 1), go(GO_LO + 2)
+    lo_bad = _bad(lx) | _bad(ly) | _bad(lz)  # zero_nan_or_inf(lo)
+    lx = jnp.where(lo_bad, 0.0, lx)
+    ly = jnp.where(lo_bad, 0.0, ly)
+    lz = jnp.where(lo_bad, 0.0, lz)
+    xvx, xvy, xvz = inn(IN_POS), inn(IN_POS + 1), inn(IN_POS + 2)
+    nvx, nvy, nvz = go(GO_NV), go(GO_NV + 1), go(GO_NV + 2)
+    xsx, xsy, xsz = go(GO_XS), go(GO_XS + 1), go(GO_XS + 2)
+    nsx, nsy, nsz = go(GO_NS), go(GO_NS + 1), go(GO_NS + 2)
+    prim_pdf = go(GO_PDF)
+    prim_delta = go(GO_DELTA) > 0.5
+
+    lum = 0.2126 * lx + 0.7152 * ly + 0.0722 * lz
+    dxx, dxy, dxz = xsx - xvx, xsy - xvy, xsz - xvz
+    seg2 = dxx * dxx + dxy * dxy + dxz * dxz
+    valid = (lum >= 1e-8) & (seg2 > 0.0)
+
+    # ---- RIS weight + streaming update into an empty reservoir
+    # (restir.cu:375-385; restir.h:38-44 with M 0 -> 1)
+    w = lum / jnp.maximum(prim_pdf, 1e-20)
+    w = jnp.where(_bad(w) | (w < 0.0) | ~valid, 0.0, w)
+    u1, _, _, _ = _pcg4d(
+        pix, jnp.full((b,), looper, jnp.uint32),
+        jnp.full((b,), _CTR_UPDATE, jnp.uint32),
+        jnp.full((b,), _SALT_GI, jnp.uint32),
+    )
+    take0 = _unit(u1) * w < w  # empty reservoir: take iff w > 0
+    zero = jnp.zeros_like(w)
+    s_lx = jnp.where(take0, lx, zero)
+    s_ly = jnp.where(take0, ly, zero)
+    s_lz = jnp.where(take0, lz, zero)
+    s_xvx = jnp.where(take0, xvx, zero)
+    s_xvy = jnp.where(take0, xvy, zero)
+    s_xvz = jnp.where(take0, xvz, zero)
+    s_nvx = jnp.where(take0, nvx, zero)
+    s_nvy = jnp.where(take0, nvy, zero)
+    s_nvz = jnp.where(take0, nvz, zero)
+    s_xsx = jnp.where(take0, xsx, zero)
+    s_xsy = jnp.where(take0, xsy, zero)
+    s_xsz = jnp.where(take0, xsz, zero)
+    s_nsx = jnp.where(take0, nsx, zero)
+    s_nsy = jnp.where(take0, nsy, zero)
+    s_nsz = jnp.where(take0, nsz, zero)
+    r_w = w
+    r_m = jnp.ones_like(w)
+
+    prim = gq(GQ_PRIM)
+    g_nx, g_ny, g_nz = gq(GQ_NORM), gq(GQ_NORM + 1), gq(GQ_NORM + 2)
+    depth = gq(GQ_DEPTH)
+
+    if temporal:
+        # ---- windowed one-hot motion gather of the previous reservoir
+        # (findTemporalNeighbor restir.cu:21-45; same windowed-gather
+        # deviation as the DI reuse kernel)
+        motion = gq(GQ_MOTION).astype(jnp.int32)
+        rel = motion - w0
+        in_win = (motion >= 0) & (rel >= 0) & (rel < window)
+        rel = jnp.where(in_win, rel, 0)
+        dma.wait()
+        win_rows = jax.lax.broadcasted_iota(jnp.int32, (window, b), 0)
+        onehot = (win_rows == rel[None, :]).astype(jnp.float32)
+        gathered = dot_exact_b(win_ref[:, :], onehot)  # [Q_CH, B]
+
+        n_w = gathered[Q_W]
+        n_m = gathered[Q_M]
+        ok = in_win & (prim > _NULL_PRIM)
+        ok &= gathered[Q_PRIM] == prim
+        ok &= jnp.abs(_dot3(
+            g_nx, g_ny, g_nz,
+            gathered[Q_GNORM], gathered[Q_GNORM + 1], gathered[Q_GNORM + 2],
+        )) >= 0.9
+        ok &= jnp.abs(gathered[Q_DEPTH] - depth) <= depth * 0.1
+        ok &= ~(_bad(n_w) | (n_w < 0.0))  # ~invalid(temporal)
+
+        u1, _, _, _ = _pcg4d(
+            pix, jnp.full((b,), looper, jnp.uint32),
+            jnp.full((b,), _CTR_TEMPORAL, jnp.uint32),
+            jnp.full((b,), _SALT_GI, jnp.uint32),
+        )
+        r_t = _unit(u1)
+        w_new = jnp.where(ok, r_w + n_w, r_w)
+        m_new = jnp.where(ok, r_m + n_m, r_m)
+        take = ok & (r_t * w_new < n_w)
+        s_lx = jnp.where(take, gathered[Q_LO], s_lx)
+        s_ly = jnp.where(take, gathered[Q_LO + 1], s_ly)
+        s_lz = jnp.where(take, gathered[Q_LO + 2], s_lz)
+        s_xvx = jnp.where(take, gathered[Q_XV], s_xvx)
+        s_xvy = jnp.where(take, gathered[Q_XV + 1], s_xvy)
+        s_xvz = jnp.where(take, gathered[Q_XV + 2], s_xvz)
+        s_nvx = jnp.where(take, gathered[Q_NV], s_nvx)
+        s_nvy = jnp.where(take, gathered[Q_NV + 1], s_nvy)
+        s_nvz = jnp.where(take, gathered[Q_NV + 2], s_nvz)
+        s_xsx = jnp.where(take, gathered[Q_XS], s_xsx)
+        s_xsy = jnp.where(take, gathered[Q_XS + 1], s_xsy)
+        s_xsz = jnp.where(take, gathered[Q_XS + 2], s_xsz)
+        s_nsx = jnp.where(take, gathered[Q_NS], s_nsx)
+        s_nsy = jnp.where(take, gathered[Q_NS + 1], s_nsy)
+        s_nsz = jnp.where(take, gathered[Q_NS + 2], s_nsz)
+        r_w = w_new
+        r_m = m_new
+
+    # ---- M-cap (restir.h:88-93; restir.cu:397)
+    cap = float(temporal_clamp)
+    over = r_m > cap
+    scale = cap / jnp.maximum(r_m, 1.0)
+    r_w = jnp.where(over, r_w * scale, r_w)
+    r_m = jnp.where(over, cap, r_m)
+
+    # ---- shade at the visible point (restir.cu:399-408), demodulated
+    wix, wiy, wiz = s_xsx - s_xvx, s_xsy - s_xvy, s_xsz - s_xvz
+    inv_l = 1.0 / jnp.maximum(
+        jnp.sqrt(wix * wix + wiy * wiy + wiz * wiz), 1e-20)
+    wix, wiy, wiz = wix * inv_l, wiy * inv_l, wiz * inv_l
+    wox = -inn(IN_DIR)
+    woy = -inn(IN_DIR + 1)
+    woz = -inn(IN_DIR + 2)
+    scalar = 0.2126 * s_lx + 0.7152 * s_ly + 0.0722 * s_lz
+    w_big = r_w / jnp.maximum(r_m, 1.0)
+    inv_sc = 1.0 / jnp.maximum(scalar, 1e-20)
+    f = _eval_bsdf_lum(
+        inn(IN_MTYPE), inn(IN_METAL), inn(IN_ROUGH),
+        s_nvx, s_nvy, s_nvz, wox, woy, woz, wix, wiy, wiz,
+    )
+    cosw = jnp.where(
+        prim_delta, 1.0,
+        jnp.maximum(_dot3(s_nvx, s_nvy, s_nvz, wix, wiy, wiz), 0.0),
+    )
+    fc = f * cosw
+    ix_ = s_lx * inv_sc * w_big * fc
+    iy_ = s_ly * inv_sc * w_big * fc
+    iz_ = s_lz * inv_sc * w_big * fc
+    res_bad = _bad(r_w) | (r_w < 0.0)
+    mask = (gq(GQ_SHADE) > 0.5) & ~res_bad & (scalar > 0.0)
+    ix_ = jnp.where(mask, ix_, 0.0)
+    iy_ = jnp.where(mask, iy_, 0.0)
+    iz_ = jnp.where(mask, iz_, 0.0)
+    ind_bad = _bad(ix_) | _bad(iy_) | _bad(iz_)  # zero_nan_or_inf
+    ix_ = jnp.where(ind_bad, 0.0, ix_) * gq(GQ_ALB)
+    iy_ = jnp.where(ind_bad, 0.0, iy_) * gq(GQ_ALB + 1)
+    iz_ = jnp.where(ind_bad, 0.0, iz_) * gq(GQ_ALB + 2)
+
+    # check_validity (restir.h:55-59)
+    r_w = jnp.where(res_bad, 0.0, r_w)
+    r_m = jnp.where(res_bad, 0.0, r_m)
+
+    def put(i, val):
+        q_ref[i, :, :] = val.reshape(cg, 128)
+
+    put(Q_LO, s_lx)
+    put(Q_LO + 1, s_ly)
+    put(Q_LO + 2, s_lz)
+    put(Q_XV, s_xvx)
+    put(Q_XV + 1, s_xvy)
+    put(Q_XV + 2, s_xvz)
+    put(Q_NV, s_nvx)
+    put(Q_NV + 1, s_nvy)
+    put(Q_NV + 2, s_nvz)
+    put(Q_XS, s_xsx)
+    put(Q_XS + 1, s_xsy)
+    put(Q_XS + 2, s_xsz)
+    put(Q_NS, s_nsx)
+    put(Q_NS + 1, s_nsy)
+    put(Q_NS + 2, s_nsz)
+    put(Q_W, r_w)
+    put(Q_M, r_m)
+    put(Q_PRIM, prim)
+    put(Q_GNORM, g_nx)
+    put(Q_GNORM + 1, g_ny)
+    put(Q_GNORM + 2, g_nz)
+    put(Q_DEPTH, depth)
+    for i in range(Q_DEPTH + 1, Q_CH):
+        put(i, zero)
+    ind_ref[0, :, :] = ix_.reshape(cg, 128)
+    ind_ref[1, :, :] = iy_.reshape(cg, 128)
+    ind_ref[2, :, :] = iz_.reshape(cg, 128)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "window", "temporal", "temporal_clamp", "interpret"))
+def gi_resolve_pallas(
+    go_pack, in_pack, gq_pack, prev_q, looper,
+    window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
+    pix0=0, interpret: bool = False,
+):
+    """RIS update + temporal merge + clamp + shade over the trace-output
+    pack. go_pack/in_pack/gq_pack: [*, R/128, 128]; prev_q: [Q_CH,
+    R_prev] flat (previous frame's resolve pack). Returns
+    (indirect [3, R/128, 128], resolve pack [Q_CH, R/128, 128])."""
+    from .fused_di import _lp2
+
+    g = go_pack.shape[1]
+    r = g * 128
+    n_tiles = r // 1024
+    tg = 8
+    r_prev = prev_q.shape[1]
+
+    motion = gq_pack[GQ_MOTION].reshape(n_tiles, 1024).astype(jnp.int32)
+    prim = gq_pack[GQ_PRIM].reshape(n_tiles, 1024)
+    m_valid = jnp.where(
+        (motion >= 0) & (prim > _NULL_PRIM), motion, r_prev)
+    w0 = jnp.min(m_valid, axis=1)
+    w0 = (w0 // 128) * 128
+    w0 = jnp.clip(w0, 0, max(r_prev - window, 0))
+
+    kern = functools.partial(
+        _gi_resolve_kernel, window=window, temporal=temporal,
+        temporal_clamp=temporal_clamp,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((GO_CH, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN_CH, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GQ_CH, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # prev resolve pack (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q_CH, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tg, 128), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q_CH, window), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    q, ind = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Q_CH, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w0, go_pack, in_pack, gq_pack, prev_q, _lp2(looper, pix0))
+    return ind, q

@@ -94,8 +94,11 @@ def _eval_bsdf_lum(mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
     lam = jnp.full_like(cos_o, _INV_PI)
 
     hx, hy, hz = wox + wix, woy + wiy, woz + wiz
-    hl = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
-    hx, hy, hz = hx * hl, hy * hl, hz * hl
+    # per-component division, NOT reciprocal-multiply or rsqrt: the GTR2
+    # denominator cancels catastrophically near cos_h = 1, so last-ulp
+    # differences vs mathx.safe_normalize show up at 1e-4 relative
+    hl = jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-20)
+    hx, hy, hz = hx / hl, hy / hl, hz / hl
     alpha = roughness * roughness
     cos_h = _dot3(nx, ny, nz, hx, hy, hz)
     hdoto = _dot3(hx, hy, hz, wox, woy, woz)
@@ -113,10 +116,11 @@ def _eval_bsdf_lum(mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
 
     g = schlick_g(cos_o) * schlick_g(cos_i)
     f0 = 0.08 * (1.0 - metallic) + metallic
-    one_m = 1.0 - jnp.clip(hdoto, 0.0, 1.0)
+    # UNclamped Schlick in mix() form — ops/bsdf.fresnel_schlick exactly
+    one_m = 1.0 - hdoto
     p5 = one_m * one_m
     p5 = p5 * p5 * one_m
-    fr = f0 + (1.0 - f0) * p5
+    fr = f0 * (1.0 - p5) + p5
     spec = g * d_ggx / jnp.maximum(4.0 * cos_i * cos_o, 1e-20)
     diffuse = _INV_PI * (1.0 - metallic)
     met = diffuse * (1.0 - fr) + spec * fr

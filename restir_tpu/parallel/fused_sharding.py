@@ -177,6 +177,8 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
             accum=accum,
             pt_pack=pt,
             svgf_pack=svgf_pack,
+            accum_ind=state.accum_ind,  # sharded path is DI-only
+            gi_q=state.gi_q,
             last_camera=cam,
         )
         return next_state, frame

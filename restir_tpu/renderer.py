@@ -56,13 +56,26 @@ def init_state(cfg: RenderConfig, cam: Camera, scene: Optional[SceneData] = None
     # copy the camera leaves: the state is donated by step_jit, so it
     # must not alias the caller's camera buffers
     cam = jax.tree.map(lambda x: jnp.array(x, copy=True), cam)
+    # the fully fused GI pipeline carries its reservoir as a channel-
+    # major pack; the leaf TYPE is the static dispatch in restir_indirect
+    from .ops.intersect import _on_tpu
+
+    if (
+        cfg.tracer == TracerType.RESTIR_GI
+        and scene is not None
+        and _on_tpu()
+        and restir_gi.gi_resolve_fused_eligible(scene, cfg, r)
+    ):
+        gi_res = restir_gi.init_gi_resolve_pack(r)
+    else:
+        gi_res = rsv.zeros_indirect(r)
     return RenderState(
         looper=jnp.uint32(0),
         iteration=jnp.int32(0),
         direct_illum=jnp.zeros((r, 3)),
         indirect_illum=jnp.zeros((r, 3)),
         dir_reservoir=rsv.zeros_direct(r),
-        gi_reservoir=rsv.zeros_indirect(r),
+        gi_reservoir=gi_res,
         gbuffer=gbuf.empty_gbuffer(r),
         last_camera=cam,
         denoiser=dn.init_svgf_state(r),
@@ -236,9 +249,10 @@ def _gi_jit(scene, gb, gi_res_in, indirect_illum, last_prim, last_norm,
     # RNG streams identical to a whole-frame render.
     r = cfg.num_pixels
     bands = 1
-    for cand in (8, 6, 4, 2):
-        if r % cand == 0 and r // cand <= 512 * 512:
-            bands = cand
+    if not isinstance(gi_res_in, jnp.ndarray):  # fused pack: no bands
+        for cand in (8, 6, 4, 2):
+            if r % cand == 0 and r // cand <= 512 * 512:
+                bands = cand
     if bands == 1 or r <= 512 * 512:
         ind, gi_res = restir_gi.restir_indirect(
             scene, gb, last_gb, it, mat, d, gi_res_in, cfg, looper

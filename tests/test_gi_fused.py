@@ -167,6 +167,110 @@ def test_gi_trace_pads_partial_tiles():
     assert (np.asarray(ref_valid) == np.asarray(got_valid)).mean() > 0.985
 
 
+def test_gi_resolve_matches_xla(scene_cam, monkeypatch):
+    """The fused resolve kernel (RIS update + windowed temporal merge +
+    clamp + shade, ops/pallas/gi_kernel.gi_resolve_pallas) vs the XLA
+    reservoir pipeline, lane for lane over 3 temporal frames. Both legs
+    consume the SAME trace samples (the XLA leg's tracer is
+    monkeypatched to the fused trace kernel), so this isolates the
+    resolve stage; the one-hot window gather is exact (3-way bf16 split
+    of a 0/1 matmul), so everything must be bit-near."""
+    scene, cam = scene_cam
+    cfg = _cfg(aa_jitter=False)
+
+    from restir_tpu.ops import reservoir as rsv
+
+    def routed(scene_, it, mat, d, cfg_, looper, pix_):
+        return restir_gi.trace_gi_sample_fused(
+            scene_, it, mat, d, cfg_, looper, 0, interpret=True
+        )
+
+    monkeypatch.setattr(restir_gi, "trace_gi_sample", routed)
+
+    res = rsv.zeros_indirect(R)
+    q = restir_gi.init_gi_resolve_pack(R)
+    gb_prev = None
+    for f in range(3):
+        looper = jnp.uint32(f)
+        gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+        if gb_prev is None:
+            gb_prev = gb
+        ind_ref, res = restir_gi.restir_indirect(
+            scene, gb, gb_prev, it, mat, d, res, cfg, looper
+        )
+        ind_got, q = restir_gi.restir_indirect_fused(
+            scene, gb, it, mat, d, q, cfg, looper, interpret=True
+        )
+        gb_prev = gb
+
+        from restir_tpu.ops.pallas import gi_kernel as gk
+
+        qm = np.asarray(q.reshape(gk.Q_CH, R))
+        np.testing.assert_array_equal(
+            np.asarray(res.m, np.float32), qm[gk.Q_M], err_msg=f"M f{f}"
+        )
+        w_ok = np.isclose(np.asarray(res.weight), qm[gk.Q_W],
+                          rtol=1e-5, atol=1e-7)
+        assert w_ok.all(), (f, 1.0 - w_ok.mean())
+        # rtol 1e-3 on the shade output only: XLA's safe_normalize sums
+        # the [R, 3] squares in a different association than the
+        # kernel's 1-D chain, and the GTR2 denominator's catastrophic
+        # cancellation near cos_h = 1 amplifies that last ulp ~30x on
+        # near-specular metal lanes (~3/4096 lanes at 3.5e-4 measured).
+        # The carried reservoir state (weight/M/sample) stays bit-near.
+        ind_ok = np.isclose(np.asarray(ind_ref), np.asarray(ind_got),
+                            rtol=1e-3, atol=1e-6)
+        assert ind_ok.all(), (f, 1.0 - ind_ok.mean())
+        lo_ok = np.isclose(np.asarray(res.sample.lo).T,
+                           qm[gk.Q_LO:gk.Q_LO + 3], rtol=1e-5, atol=1e-7)
+        assert lo_ok.all(), (f, 1.0 - lo_ok.mean())
+    assert np.asarray(ind_got).mean() > 1e-4  # carries real energy
+
+
+def test_gi_fused_pipeline_step(scene_cam):
+    """RESTIR_GI riding the fused channel-major pipeline end to end
+    (restir_di_fused.step_fused with the GI trace+resolve kernels):
+    finite frames, indirect energy present, reservoir history grows,
+    and the 3-frame mean agrees statistically with the general pipeline
+    (whose own kernels are parity-gated above and in test_fused_di)."""
+    from restir_tpu import renderer
+    from restir_tpu.models import restir_di_fused as fused
+    from restir_tpu.ops.pallas import gi_kernel as gk
+
+    scene, cam = scene_cam
+    cfg = _cfg(aa_jitter=False)
+
+    fstate = fused.init_state(cfg, cam)
+    assert fstate.gi_q.shape[0] == gk.Q_CH
+    for _ in range(3):
+        fstate, frame = fused.step_fused(scene, fstate, cam, cfg,
+                                         interpret=True)
+    img_fused = np.asarray(frame)
+    assert np.isfinite(img_fused).all()
+    assert np.asarray(fstate.accum_ind).mean() > 1e-4  # GI energy
+    qm = np.asarray(fstate.gi_q.reshape(gk.Q_CH, R))
+    assert qm[gk.Q_M].max() == 3.0  # temporal history accumulated
+
+    gstate = renderer.RenderState(
+        looper=jnp.uint32(0), iteration=jnp.int32(0),
+        direct_illum=jnp.zeros((R, 3)), indirect_illum=jnp.zeros((R, 3)),
+        dir_reservoir=__import__(
+            "restir_tpu.ops.reservoir", fromlist=["x"]).zeros_direct(R),
+        gi_reservoir=__import__(
+            "restir_tpu.ops.reservoir", fromlist=["x"]).zeros_indirect(R),
+        gbuffer=gbuf.empty_gbuffer(R), last_camera=cam,
+        denoiser=__import__(
+            "restir_tpu.models.denoiser",
+            fromlist=["x"]).init_svgf_state(R),
+    )
+    for _ in range(3):
+        gstate, gframe = renderer.step(scene, gstate, cam, cfg)
+    img_gen = np.asarray(gframe).reshape(-1, 3)
+    got = img_fused.reshape(3, -1).T
+    ref = max(img_gen.mean(), 1e-9)
+    assert abs(got.mean() - ref) / ref < 0.05, (got.mean(), ref)
+
+
 @pytest.mark.slow
 def test_gi_fused_step_statistical(scene_cam, monkeypatch):
     """Full restir_indirect with the kernel trace vs the XLA trace:

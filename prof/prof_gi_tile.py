@@ -45,7 +45,10 @@ def trace(in_pack, looper, tile):
 
 
 variants = {}
-for tile in (1024, 2048, 4096, 8192):
+import os
+_tiles = tuple(int(t) for t in os.environ.get(
+    "GI_TILES", "1024,2048,4096,8192").split(","))
+for tile in _tiles:
     variants[tile] = (lambda t: lambda: trace(in_pack, looper, t))(tile)
 
 outs = {}

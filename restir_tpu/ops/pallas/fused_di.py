@@ -1519,7 +1519,25 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
     out_ref[0, :, :] = occluded.reshape(cg, 128)
 
 
-def _merge_sorted_kernel(w0_ref, gb_ref, rs_ref, occ_ref, prev_ref,
+def _window_start(gb_ref, prev_ref, window):
+    """Temporal-window DMA start for this tile, computed in-kernel (was
+    an XLA pre-pass over the whole motion plane): min valid motion index
+    over the tile, 128-aligned, clamped so [w0, w0+window) stays inside
+    the prev pack. Miss pixels carry motion = 0 (not -1); including
+    them would poison the min for any tile seeing background."""
+    cg = gb_ref.shape[1]
+    b = cg * 128
+    r_prev = prev_ref.shape[1]
+    motion = gb_ref[G_MOTION, :, :].reshape(b)
+    miss = gb_ref[G_MISS, :, :].reshape(b) > 0.5
+    m_valid = jnp.where((motion >= 0.0) & ~miss, motion, float(r_prev))
+    w0 = jnp.min(m_valid).astype(jnp.int32)
+    w0 = (w0 // 128) * 128
+    w0 = jnp.clip(w0, 0, max(r_prev - window, 0))
+    return pl.multiple_of(w0, 128)
+
+
+def _merge_sorted_kernel(gb_ref, rs_ref, occ_ref, prev_ref,
                          looper_ref, out_ref, win_ref, sem,
                          *, k, window, temporal, temporal_clamp):
     """Consumes the unsorted occlusion flags from _vis_sorted_kernel and
@@ -1534,10 +1552,12 @@ def _merge_sorted_kernel(w0_ref, gb_ref, rs_ref, occ_ref, prev_ref,
     looper = looper_ref[0]
 
     if temporal:
-        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        w0 = _window_start(gb_ref, prev_ref, window)
         pltpu.make_async_copy(
             prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
         ).start()
+    else:
+        w0 = None
 
     def ch(i):
         return gb_ref[i, :, :].reshape(b)
@@ -1553,16 +1573,16 @@ def _merge_sorted_kernel(w0_ref, gb_ref, rs_ref, occ_ref, prev_ref,
            rch(RS_DIST), r_weight,
            jnp.where(shade, float(k), 0.0))
     _temporal_merge_pack(
-        gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem, looper, pix,
+        gb_ref, out_ref, prev_ref, w0, win_ref, sem, looper, pix,
         res, window=window, temporal=temporal,
         temporal_clamp=temporal_clamp,
     )
 
 
-def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xpt_ref,
+def _vis_resident_kernel(gb_ref, rs_ref, xpt_ref,
                          prev_ref, looper_ref, out_ref, win_ref, sem,
                          *, k, nb, n_pad, window, temporal, temporal_clamp):
-    """Small-scene variant of _vis_temporal_kernel: triangle planes are
+    """Small-scene winner-visibility kernel: triangle planes are
     VMEM-resident and the any-hit loop is a plain block fori (no work
     lists, no per-cluster DMA sync)."""
     cg = gb_ref.shape[1]
@@ -1578,10 +1598,12 @@ def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xpt_ref,
     looper = looper_ref[0]
 
     if temporal:
-        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        w0 = _window_start(gb_ref, prev_ref, window)
         pltpu.make_async_copy(
             prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
         ).start()
+    else:
+        w0 = None
 
     px, py, pz = ch(G_POS), ch(G_POS + 1), ch(G_POS + 2)
     shade = ch(G_SHADE) > 0.5
@@ -1643,22 +1665,22 @@ def _vis_resident_kernel(w0_ref, gb_ref, rs_ref, xpt_ref,
     r_weight = jnp.where(occluded.reshape(b) > 0.5, 0.0, r_weight)
 
     _temporal_merge_pack(
-        gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem, looper, pix,
+        gb_ref, out_ref, prev_ref, w0, win_ref, sem, looper, pix,
         (r_li_x, r_li_y, r_li_z, r_wi_x, r_wi_y, r_wi_z, r_dist, r_weight,
          r_m),
         window=window, temporal=temporal, temporal_clamp=temporal_clamp,
     )
 
 
-def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem,
+def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0, win_ref, sem,
                          looper, pix, res, *, window, temporal,
                          temporal_clamp):
     """Temporal reuse (restir.cu:180-185; findTemporalNeighbor :21-45) +
     pt-pack write, shared by the streaming and resident vis kernels. The
-    caller must have STARTED the window DMA (prev -> win_ref via sem)."""
+    caller must have STARTED the window DMA (prev -> win_ref via sem)
+    from start `w0` (see _window_start)."""
     cg = gb_ref.shape[1]
     b = cg * 128
-    tile_id = pl.program_id(0)
     (r_li_x, r_li_y, r_li_z, r_wi_x, r_wi_y, r_wi_z, r_dist, r_weight,
      r_m) = res
 
@@ -1668,7 +1690,6 @@ def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem,
     shade = ch(G_SHADE) > 0.5
 
     if temporal:
-        w0 = pl.multiple_of(w0_ref[tile_id], 128)
         dma = pltpu.make_async_copy(
             prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
         )
@@ -1959,7 +1980,6 @@ def reuse_pallas(
     # under shard_map row-band parallelism, prev_pack is the local band
     # extended by halos and prev_base is the global pixel index of its
     # first column: rebase motion so all window math is pack-local
-    r_prev = prev_pack.shape[1]
     if not (isinstance(prev_base, int) and prev_base == 0):
         # single-chip callers pass a static 0: skip the whole-pack copy
         mo = gb_pack[G_MOTION]
@@ -2054,16 +2074,8 @@ def reuse_pallas(
             rp[RP_LIVE] > 0.5, _TILE, sub_lo, sub_hi
         )
         rp = rp.reshape(RP_CH, g, 128)
-    motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
-    # miss pixels carry motion = 0 (not -1); including them poisons the
-    # window start min for any tile seeing background, silently losing
-    # temporal reuse for shaded pixels whose index exceeds the window
-    miss = gb_pack[G_MISS].reshape(n_tiles, _TILE) > 0.5
-    m_valid = jnp.where((motion >= 0) & ~miss, motion, r_prev)
-    w0 = jnp.min(m_valid, axis=1)
-    # HBM DMA starts must be 128-aligned on the lane dim (Mosaic tiling)
-    w0 = (w0 // 128) * 128
-    w0 = jnp.clip(w0, 0, max(r_prev - window, 0))
+    # temporal window starts are derived IN-KERNEL per tile from the
+    # motion/miss channels (_window_start) — no XLA pre-pass
 
     if resident:
         # ---- kernel R2 (resident): VMEM geometry, no work lists
@@ -2078,13 +2090,13 @@ def reuse_pallas(
             _vis_resident_kernel, k=k, nb=nb_res, n_pad=n_pad_res,
             window=window, temporal=temporal, temporal_clamp=temporal_clamp,
         )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+        return pl.pallas_call(
+            r2,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((GB_CH, tg, 128), lambda i, *_: (0, i, 0),
+                pl.BlockSpec((GB_CH, tg, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((RS_CH, tg, 128), lambda i, *_: (0, i, 0),
+                pl.BlockSpec((RS_CH, tg, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_pad_res, 128), full_p,
                              memory_space=pltpu.VMEM),
@@ -2092,23 +2104,19 @@ def reuse_pallas(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
-                (PT_CH, tg, 128), lambda i, *_: (0, i, 0),
+                (PT_CH, tg, 128), lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
                 pltpu.VMEM((PT_CH, window), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
-        )
-        return pl.pallas_call(
-            r2,
-            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((PT_CH, g, 128), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(w0, gb_pack, rs, xpt_r, prev_pack, _lp2(looper, pix0))
+        )(gb_pack, rs, xpt_r, prev_pack, _lp2(looper, pix0))
 
     # ---- kernel R2a: wavefront-sorted winner visibility (streams only
     # the 32-tri sub-blocks the tile's coherent rays truly cross)
@@ -2147,36 +2155,32 @@ def reuse_pallas(
         _merge_sorted_kernel, k=k, window=window, temporal=temporal,
         temporal_clamp=temporal_clamp,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl.pallas_call(
+        mk,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((GB_CH, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((GB_CH, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RS_CH, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((RS_CH, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((1, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (PT_CH, tg, 128), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+            (PT_CH, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((PT_CH, window), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    return pl.pallas_call(
-        mk,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((PT_CH, g, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(w0, gb_pack, rs, occ, prev_pack, _lp2(looper, pix0))
+    )(gb_pack, rs, occ, prev_pack, _lp2(looper, pix0))
 
 
 # ---------------------------------------------------------------------------
@@ -2195,16 +2199,15 @@ SV_CH = 16  # padded (10 used)
 SVGF_ALPHA = 0.2  # denoiser.cu:256
 
 
-def _svgf_temporal_kernel(w0_ref, gb_ref, col_ref, prev_ref, out_ref,
+def _svgf_temporal_kernel(gb_ref, col_ref, prev_ref, out_ref,
                           win_ref, sem, *, window):
     """Motion-gathered alpha-blend of color + (lum, lum^2) moments with
     disocclusion reset — temporalAccumulate (denoiser.cu:250-305), via
     the same windowed one-hot motion gather as the reuse kernel."""
     cg = gb_ref.shape[1]
     b = cg * 128
-    tile_id = pl.program_id(0)
 
-    w0 = pl.multiple_of(w0_ref[tile_id], 128)
+    w0 = _window_start(gb_ref, prev_ref, window)
     dma = pltpu.make_async_copy(
         prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
     )
@@ -2278,49 +2281,38 @@ def svgf_temporal_pallas(gb_pack, color, prev_svgf, window: int = 2048,
     r = g * 128
     n_tiles = r // _TILE
     tg = _TILE // 128
-    r_prev = prev_svgf.shape[1]
 
-    motion = gb_pack[G_MOTION].reshape(n_tiles, _TILE).astype(jnp.int32)
     if not (isinstance(prev_base, int) and prev_base == 0):
         # single-chip callers pass a static 0: skip the whole-pack copy
-        motion = jnp.where(motion >= 0, motion - prev_base, motion)
+        mo = gb_pack[G_MOTION]
         gb_pack = gb_pack.at[G_MOTION].set(
-            motion.astype(jnp.float32).reshape(g, 128))
-    miss = gb_pack[G_MISS].reshape(n_tiles, _TILE) > 0.5
-    m_valid = jnp.where((motion >= 0) & ~miss, motion, r_prev)
-    w0 = jnp.min(m_valid, axis=1)
-    w0 = (w0 // 128) * 128
-    w0 = jnp.clip(w0, 0, max(r_prev - window, 0))
+            jnp.where(mo >= 0.0, mo - jnp.float32(prev_base), mo))
 
     kernel = functools.partial(_svgf_temporal_kernel, window=window)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl.pallas_call(
+        kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((GB_CH, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((GB_CH, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((3, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # prev svgf pack (HBM)
         ],
         out_specs=pl.BlockSpec(
-            (SV_CH, tg, 128), lambda i, *_: (0, i, 0),
+            (SV_CH, tg, 128), lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((SV_CH, window), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((SV_CH, g, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(w0, gb_pack, color, prev_svgf)
+    )(gb_pack, color, prev_svgf)
 
 
 # ---------------------------------------------------------------------------

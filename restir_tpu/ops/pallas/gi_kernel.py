@@ -680,29 +680,36 @@ def gi_trace_pallas(
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
-    pix0=0, tile: int = 1024, interpret: bool = False,
+    pix0=0, tile: int = 0, interpret: bool = False,
 ):
     """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
     Returns [GO_CH, R/128, 128].
 
-    `tile` = rays per grid step. The kernel body is a long 1-D scalar
-    chain (~1500 ops over the unrolled bounce loop) whose cost at
-    tile=1024 is Mosaic per-op dispatch, not compute — wider tiles
-    amortize it (445 -> 162 ms/frame at 1080p from 1024 -> 4096,
-    prof/prof_gi_tile.py). Inputs not a tile multiple are zero-padded
-    here and sliced back."""
+    `tile` = rays per grid step (0 = auto). The kernel body is a long
+    1-D scalar chain (~1500 ops over the unrolled bounce loop) whose
+    cost at tile=1024 is Mosaic per-op dispatch, not compute — wider
+    tiles amortize it (445 -> 162 ms/frame at 1080p from 1024 -> 4096,
+    prof/prof_gi_tile.py). The VMEM ceiling is the [n_pad, tile]
+    closest-hit intermediates, so auto picks the widest tile with
+    n_pad * tile <= 128 * 4096, capped at the actual ray count.
+    Results are tile-invariant: the in-kernel RNG keys on the global
+    ray index. Inputs not a tile multiple are zero-padded here and
+    sliced back."""
     from .fused_di import _lp2, _round_up, _split_planes
 
     g_in = in_pack.shape[1]
+    n_tri = tri_xform.shape[1] // 3
+    n_pad = _round_up(max(n_tri, 128), 128)
+    assert n_pad <= 1024, "fused GI is for VMEM-resident scenes"
+    if tile <= 0:
+        tile = 4096 if n_pad <= 128 else (2048 if n_pad <= 256 else 1024)
+        tile = min(tile, _round_up(g_in * 128, 128))
     tg = tile // 128
     g = _round_up(g_in, tg)
     if g != g_in:
         in_pack = jnp.concatenate(
             [in_pack, jnp.zeros((IN_CH, g - g_in, 128), in_pack.dtype)],
             axis=1)
-    n_tri = tri_xform.shape[1] // 3
-    n_pad = _round_up(max(n_tri, 128), 128)
-    assert n_pad <= 1024, "fused GI is for VMEM-resident scenes"
     xu, xv, xw = _split_planes(tri_xform, n_pad)
     attr_t = jnp.zeros((ATTR_COLS, n_pad), jnp.float32)
     attr_t = attr_t.at[:, :prim_attr.shape[0]].set(
@@ -775,7 +782,7 @@ def gi_trace_pallas(
 # ops this replaces pad 43x under (8,128) tiling (BASELINE.md round 3).
 
 
-def _gi_resolve_kernel(w0_ref, go_ref, in_ref, gq_ref, prev_ref,
+def _gi_resolve_kernel(go_ref, in_ref, gq_ref, prev_ref,
                        looper_ref, q_ref, ind_ref, win_ref, sem,
                        *, window, temporal, temporal_clamp):
     cg = go_ref.shape[1]
@@ -787,7 +794,17 @@ def _gi_resolve_kernel(w0_ref, go_ref, in_ref, gq_ref, prev_ref,
     looper = looper_ref[0]
 
     if temporal:
-        w0 = pl.multiple_of(w0_ref[tile_id], 128)
+        # temporal-window DMA start, in-kernel (see fused_di._window_start;
+        # the GI validity mask keys on prim > NULL instead of the miss flag)
+        r_prev = prev_ref.shape[1]
+        m_f = gq_ref[GQ_MOTION, :, :].reshape(b)
+        p_f = gq_ref[GQ_PRIM, :, :].reshape(b)
+        m_valid = jnp.where(
+            (m_f >= 0.0) & (p_f > _NULL_PRIM), m_f, float(r_prev))
+        w0 = jnp.min(m_valid).astype(jnp.int32)
+        w0 = (w0 // 128) * 128
+        w0 = pl.multiple_of(
+            jnp.clip(w0, 0, max(r_prev - window, 0)), 128)
         dma = pltpu.make_async_copy(
             prev_ref.at[:, pl.ds(w0, window)], win_ref, sem
         )
@@ -1001,47 +1018,34 @@ def gi_resolve_pallas(
     r = g * 128
     n_tiles = r // 1024
     tg = 8
-    r_prev = prev_q.shape[1]
-
-    motion = gq_pack[GQ_MOTION].reshape(n_tiles, 1024).astype(jnp.int32)
-    prim = gq_pack[GQ_PRIM].reshape(n_tiles, 1024)
-    m_valid = jnp.where(
-        (motion >= 0) & (prim > _NULL_PRIM), motion, r_prev)
-    w0 = jnp.min(m_valid, axis=1)
-    w0 = (w0 // 128) * 128
-    w0 = jnp.clip(w0, 0, max(r_prev - window, 0))
 
     kern = functools.partial(
         _gi_resolve_kernel, window=window, temporal=temporal,
         temporal_clamp=temporal_clamp,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    q, ind = pl.pallas_call(
+        kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((GO_CH, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((GO_CH, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((IN_CH, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((IN_CH, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GQ_CH, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((GQ_CH, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # prev resolve pack (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Q_CH, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((Q_CH, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tg, 128), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((3, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((Q_CH, window), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    q, ind = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Q_CH, g, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
@@ -1050,5 +1054,5 @@ def gi_resolve_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(w0, go_pack, in_pack, gq_pack, prev_q, _lp2(looper, pix0))
+    )(go_pack, in_pack, gq_pack, prev_q, _lp2(looper, pix0))
     return ind, q

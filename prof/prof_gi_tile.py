@@ -33,23 +33,28 @@ in_pack = restir_gi._build_gi_in_pack(it, mat, ray_dir)
 from restir_tpu.ops.pallas import gi_kernel as gk
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def trace(in_pack, looper, tile):
+@functools.partial(jax.jit, static_argnames=("tile", "groups"))
+def trace(in_pack, looper, tile, groups):
     return gk.gi_trace_pallas(
         in_pack, looper, scene.tri_xform, scene.prim_attr,
         scene.mat_attr, scene.light_prob, scene.light_alias,
         scene.light_prim_ids, scene.light_radiance,
         scene.sum_light_power_inv,
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
-        n_lights=int(scene.light_prob.shape[0]), tile=tile)
+        n_lights=int(scene.light_prob.shape[0]), tile=tile,
+        groups=groups)
 
 
 variants = {}
 import os
-_tiles = tuple(int(t) for t in os.environ.get(
-    "GI_TILES", "1024,2048,4096,8192").split(","))
-for tile in _tiles:
-    variants[tile] = (lambda t: lambda: trace(in_pack, looper, t))(tile)
+# GI_VARIANTS: "tile:g,g|tile:g,g|..." e.g. "1024:5|2048:3,2|4096:1,1,1,1,1"
+_var = os.environ.get("GI_VARIANTS", "1024:5|2048:3,2")
+for spec in _var.split("|"):
+    ts, gs = spec.split(":")
+    tile = int(ts)
+    groups = tuple(int(x) for x in gs.split(","))
+    variants[spec] = (
+        lambda t, gr: lambda: trace(in_pack, looper, t, gr))(tile, groups)
 
 outs = {}
 for name, fn in list(variants.items()):
@@ -63,10 +68,13 @@ for name, fn in list(variants.items()):
         del variants[name]
 
 import numpy as np
-ref = np.asarray(outs.get(1024))
-for name, o in outs.items():
-    if name != 1024:
-        print(f"tile {name}: mismatch {np.mean(np.asarray(o) != ref):.2e}")
+if outs:
+    ref_key = next(iter(outs))
+    ref = np.asarray(outs[ref_key])
+    for name, o in outs.items():
+        if name != ref_key:
+            print(f"tile {name}: mismatch "
+                  f"{np.mean(np.asarray(o) != ref):.2e}")
 
 times = {k: [] for k in variants}
 for rep in range(6):

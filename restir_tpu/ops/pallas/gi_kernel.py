@@ -82,6 +82,29 @@ GO_PDF = 12  # primary-bounce pdf
 GO_DELTA = 13  # primary bounce was a delta lobe
 GO_CH = 16
 
+# per-depth path state pack ([ST_CH, R/128, 128]): the bounce loop runs
+# as ONE KERNEL PER BOUNCE chained over this pack, so compile size stays
+# O(one bounce) while the tile width (the 1-D dispatch amortizer) can
+# grow. Channels 0:14 are layout-aligned with the GO pack, so the final
+# state slices straight into the trace output.
+ST_LO = 0  # 3 (== GO_LO)
+ST_NV = 3  # 3 (== GO_NV)
+ST_XS = 6  # 3 (== GO_XS)
+ST_NS = 9  # 3 (== GO_NS)
+ST_PDF = 12  # == GO_PDF
+ST_DELTA = 13  # == GO_DELTA
+ST_POS = 14  # 3: current path vertex
+ST_NORM = 17  # 3: its shading normal (pre-flip)
+ST_WO = 20  # 3: outgoing (toward previous vertex)
+ST_MTYPE = 23
+ST_BASE = 24  # 3: base color at the vertex
+ST_METAL = 27
+ST_ROUGH = 28
+ST_IOR = 29
+ST_ALIVE = 30
+ST_THR = 31  # 3: path throughput
+ST_CH = 34
+
 # GI pass RNG counters (models/restir_gi)
 _CTR_UPDATE = 0
 _CTR_TEMPORAL = 1
@@ -286,11 +309,15 @@ def _sample_vndf(nx, ny, nz, wox, woy, woz, alpha, rx, ry):
     return _norm3(wx, wy, wz)
 
 
-def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
+def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
                      mat_ref, light_ref, scal_ref, out_ref,
-                     *, n_pad, m_pad, l_pad, n_lights, depth,
+                     *, n_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
                      single_sided):
-    cg = in_ref.shape[1]
+    """Bounces d_lo..d_hi of the fused GI path trace over the [ST_CH]
+    state pack (state advanced in place; the wrapper chains one kernel
+    per bounce so compile size stays O(one bounce) while the tile width
+    — the 1-D dispatch amortizer — can grow)."""
+    cg = st_ref.shape[1]
     b = cg * 128
     tile_id = pl.program_id(0)
     looper = looper_ref[0]
@@ -300,61 +327,77 @@ def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
     sum_inv = scal_ref[0]
 
     def ch(i):
-        return in_ref[i, :, :].reshape(b)
+        return st_ref[i, :, :].reshape(b)
 
-    px, py, pz = ch(IN_POS), ch(IN_POS + 1), ch(IN_POS + 2)
-    nx, ny, nz = ch(IN_NORM), ch(IN_NORM + 1), ch(IN_NORM + 2)
-    dx, dy, dz = ch(IN_DIR), ch(IN_DIR + 1), ch(IN_DIR + 2)
-    wox, woy, woz = -dx, -dy, -dz
-    mtype = ch(IN_MTYPE)
-    metallic = ch(IN_METAL)
-    roughness = ch(IN_ROUGH)
-    ior = ch(IN_IOR)
-    alive = ch(IN_ALIVE) > 0.5
-    # bounce-surface base color: only consumed from depth >= 2, where it
-    # comes from the hit's material row; primary value is never used
-    basr = jnp.zeros_like(px)
-    basg = jnp.zeros_like(px)
-    basb = jnp.zeros_like(px)
+    px, py, pz = ch(ST_POS), ch(ST_POS + 1), ch(ST_POS + 2)
+    nx, ny, nz = ch(ST_NORM), ch(ST_NORM + 1), ch(ST_NORM + 2)
+    wox, woy, woz = ch(ST_WO), ch(ST_WO + 1), ch(ST_WO + 2)
+    mtype = ch(ST_MTYPE)
+    metallic = ch(ST_METAL)
+    roughness = ch(ST_ROUGH)
+    ior = ch(ST_IOR)
+    alive = ch(ST_ALIVE) > 0.5
+    basr, basg, basb = ch(ST_BASE), ch(ST_BASE + 1), ch(ST_BASE + 2)
 
     # plane hi/lo splits hoisted once per tile ([n_pad, 4] operands)
     xu_t = _hi_lo(xu_ref[:, :].T)
     xv_t = _hi_lo(xv_ref[:, :].T)
     xw_t = _hi_lo(xw_ref[:, :].T)
 
-    row_np = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
+    # hit-test lane chunk: the 2-D [n_pad, lanes] closest-hit
+    # intermediates are Mosaic-unrolled per vreg, so their lane width is
+    # pinned at <= 1024 regardless of the tile width (wider tiles would
+    # explode compile memory); the 1-D shading chain still runs at the
+    # full tile width, which is where the per-op dispatch tax amortizes
+    hb = min(b, 1024)
+    row_np = jax.lax.broadcasted_iota(jnp.int32, (n_pad, hb), 0)
     row_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, b), 0)
-    row_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, b), 0)
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, hb), 0)
+
+    def _cat(parts, axis=0):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis)
 
     def trace(ox_, oy_, oz_, ddx, ddy, ddz, active):
         """Closest hit over ALL resident triangles (brute, mirrors
-        ops/intersect_bf._chunk_hits predicates). Returns (hit, dist,
-        u, v, prim)."""
-        oh4 = jnp.stack(
-            [ox_, oy_, oz_, jnp.ones_like(ox_)], axis=0)  # [4, B]
-        dh4 = jnp.stack([ddx, ddy, ddz, jnp.zeros_like(ox_)], axis=0)
-        oh_s, dh_s = _hi_lo(oh4), _hi_lo(dh4)
-        oou = dot_f32x3(None, None, a_split=xu_t, b_split=oh_s)  # [np, B]
-        oov = dot_f32x3(None, None, a_split=xv_t, b_split=oh_s)
-        oow = dot_f32x3(None, None, a_split=xw_t, b_split=oh_s)
-        ddu = dot_f32x3(None, None, a_split=xu_t, b_split=dh_s)
-        ddv = dot_f32x3(None, None, a_split=xv_t, b_split=dh_s)
-        ddw = dot_f32x3(None, None, a_split=xw_t, b_split=dh_s)
-        nondeg = jnp.abs(ddw) >= 1e-12
-        t = -oow / jnp.where(nondeg, ddw, 1.0)
-        u = oou + t * ddu
-        v = oov + t * ddv
-        hit2 = (
-            nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        )
-        dist2 = jnp.where(hit2, t, _BIG)
-        j = jnp.argmin(dist2, axis=0)  # [B]
-        oh_best = row_np == j[None, :]
-        d_best = jnp.min(dist2, axis=0)
-        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=0)
-        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=0)
+        ops/intersect_bf._chunk_hits predicates), in hb-lane chunks.
+        Returns (hit, dist, u, v, prim)."""
+        outs = ([], [], [], [])
+        for c in range(0, b, hb):
+            sl = slice(c, c + hb)
+            one = jnp.ones((hb,), jnp.float32)
+            oh4 = jnp.stack(
+                [ox_[sl], oy_[sl], oz_[sl], one], axis=0)  # [4, hb]
+            dh4 = jnp.stack(
+                [ddx[sl], ddy[sl], ddz[sl], one * 0.0], axis=0)
+            oh_s, dh_s = _hi_lo(oh4), _hi_lo(dh4)
+            oou = dot_f32x3(None, None, a_split=xu_t, b_split=oh_s)
+            oov = dot_f32x3(None, None, a_split=xv_t, b_split=oh_s)
+            oow = dot_f32x3(None, None, a_split=xw_t, b_split=oh_s)
+            ddu = dot_f32x3(None, None, a_split=xu_t, b_split=dh_s)
+            ddv = dot_f32x3(None, None, a_split=xv_t, b_split=dh_s)
+            ddw = dot_f32x3(None, None, a_split=xw_t, b_split=dh_s)
+            nondeg = jnp.abs(ddw) >= 1e-12
+            t = -oow / jnp.where(nondeg, ddw, 1.0)
+            u = oou + t * ddu
+            v = oov + t * ddv
+            hit2 = (
+                nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0)
+                & (u + v <= 1.0)
+            )
+            dist2 = jnp.where(hit2, t, _BIG)
+            j = jnp.argmin(dist2, axis=0)  # [hb]
+            oh_best = row_np == j[None, :]
+            outs[0].append(jnp.min(dist2, axis=0))
+            outs[1].append(jnp.sum(jnp.where(oh_best, u, 0.0), axis=0))
+            outs[2].append(jnp.sum(jnp.where(oh_best, v, 0.0), axis=0))
+            # i1 concats trip Mosaic layout inference — carry ids as i32
+            outs[3].append(j)
+        d_best = _cat(outs[0])
+        u_best = _cat(outs[1])
+        v_best = _cat(outs[2])
+        j_all = _cat(outs[3])
         got = active & (d_best < _BIG)
-        return got, d_best, u_best, v_best, jnp.where(got, j, -1)
+        return got, d_best, u_best, v_best, jnp.where(got, j_all, -1)
 
     def occluded_test(ox_, oy_, oz_, tx_, ty_, tz_, active):
         """Any-hit x -> target (ops/intersect_bf.test_occlusion_bf
@@ -371,29 +414,35 @@ def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
         return active & got & (d_best < limit)
 
     def fetch_attr(prim):
-        oh = (row_np == prim[None, :]).astype(jnp.float32)
-        return dot_exact_b(attr_ref[:, :], oh)  # [ATTR_COLS, B]
+        return _cat([
+            dot_exact_b(attr_ref[:, :],
+                        (row_np == prim[c:c + hb][None, :]).astype(
+                            jnp.float32))
+            for c in range(0, b, hb)], axis=1)  # [ATTR_COLS, B]
 
     def fetch_mat(mid):
+        # m_pad is ~8 rows: the [m_pad, b] one-hot stays cheap unchunked
         oh = (row_m == mid[None, :]).astype(jnp.float32)
         return dot_exact_b(mat_ref[:, :], oh)  # [MAT_COLS, B]
 
     def fetch_light(lid):
-        oh = (row_l == lid[None, :]).astype(jnp.float32)
-        return dot_exact_b(light_ref[:, :], oh)  # [LT_ROWS, B]
+        return _cat([
+            dot_exact_b(light_ref[:, :],
+                        (row_l == lid[c:c + hb][None, :]).astype(
+                            jnp.float32))
+            for c in range(0, b, hb)], axis=1)  # [LT_ROWS, B]
 
-    zero = jnp.zeros_like(px)
-    lo = [zero, zero, zero]
-    nvx, nvy, nvz = nx, ny, nz
-    xsx, xsy, xsz = zero, zero, zero
-    nsx, nsy, nsz = zero, zero, zero
-    prim_pdf = jnp.ones_like(px)
-    prim_delta = jnp.zeros_like(px)  # bool as f32
-    thr = [jnp.ones_like(px)] * 3
+    lo = [ch(ST_LO), ch(ST_LO + 1), ch(ST_LO + 2)]
+    nvx, nvy, nvz = ch(ST_NV), ch(ST_NV + 1), ch(ST_NV + 2)
+    xsx, xsy, xsz = ch(ST_XS), ch(ST_XS + 1), ch(ST_XS + 2)
+    nsx, nsy, nsz = ch(ST_NS), ch(ST_NS + 1), ch(ST_NS + 2)
+    prim_pdf = ch(ST_PDF)
+    prim_delta = ch(ST_DELTA)  # bool as f32
+    thr = [ch(ST_THR), ch(ST_THR + 1), ch(ST_THR + 2)]
 
     upix = pix.astype(jnp.uint32)
 
-    for d_i in range(1, depth + 1):
+    for d_i in range(d_lo, d_hi + 1):
         first = d_i == 1
         delta_bsdf = mtype == _DIELECTRIC
         # orient the shading normal toward wo for non-delta materials
@@ -652,49 +701,65 @@ def _gi_trace_kernel(looper_ref, in_ref, xu_ref, xv_ref, xw_ref, attr_ref,
     def put(i, val):
         out_ref[i, :, :] = val.reshape(cg, 128)
 
-    put(GO_LO, lo[0])
-    put(GO_LO + 1, lo[1])
-    put(GO_LO + 2, lo[2])
-    put(GO_NV, nvx)
-    put(GO_NV + 1, nvy)
-    put(GO_NV + 2, nvz)
-    put(GO_XS, xsx)
-    put(GO_XS + 1, xsy)
-    put(GO_XS + 2, xsz)
-    put(GO_NS, nsx)
-    put(GO_NS + 1, nsy)
-    put(GO_NS + 2, nsz)
-    put(GO_PDF, prim_pdf)
-    put(GO_DELTA, prim_delta)
-    # zero ALL padding channels so the returned pack has no
-    # uninitialized VMEM planes (a whole-pack finiteness check must
-    # never see garbage)
-    for i in range(GO_DELTA + 1, GO_CH):
-        put(i, jnp.zeros_like(px))
+    put(ST_LO, lo[0])
+    put(ST_LO + 1, lo[1])
+    put(ST_LO + 2, lo[2])
+    put(ST_NV, nvx)
+    put(ST_NV + 1, nvy)
+    put(ST_NV + 2, nvz)
+    put(ST_XS, xsx)
+    put(ST_XS + 1, xsy)
+    put(ST_XS + 2, xsz)
+    put(ST_NS, nsx)
+    put(ST_NS + 1, nsy)
+    put(ST_NS + 2, nsz)
+    put(ST_PDF, prim_pdf)
+    put(ST_DELTA, prim_delta)
+    put(ST_POS, px)
+    put(ST_POS + 1, py)
+    put(ST_POS + 2, pz)
+    put(ST_NORM, nx)
+    put(ST_NORM + 1, ny)
+    put(ST_NORM + 2, nz)
+    put(ST_WO, wox)
+    put(ST_WO + 1, woy)
+    put(ST_WO + 2, woz)
+    put(ST_MTYPE, mtype)
+    put(ST_BASE, basr)
+    put(ST_BASE + 1, basg)
+    put(ST_BASE + 2, basb)
+    put(ST_METAL, metallic)
+    put(ST_ROUGH, roughness)
+    put(ST_IOR, ior)
+    put(ST_ALIVE, jnp.where(alive, 1.0, 0.0))
+    put(ST_THR, thr[0])
+    put(ST_THR + 1, thr[1])
+    put(ST_THR + 2, thr[2])
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "depth", "single_sided", "n_lights", "tile", "interpret"))
+    "depth", "single_sided", "n_lights", "tile", "groups", "interpret"))
 def gi_trace_pallas(
     in_pack, looper, tri_xform, prim_attr, mat_attr,
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
-    pix0=0, tile: int = 0, interpret: bool = False,
+    pix0=0, tile: int = 0, groups=None, interpret: bool = False,
 ):
     """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
     Returns [GO_CH, R/128, 128].
 
-    `tile` = rays per grid step (0 = auto). The kernel body is a long
-    1-D scalar chain (~1500 ops over the unrolled bounce loop) whose
-    cost at tile=1024 is Mosaic per-op dispatch, not compute — wider
-    tiles amortize it (445 -> 162 ms/frame at 1080p from 1024 -> 4096,
-    prof/prof_gi_tile.py). The VMEM ceiling is the [n_pad, tile]
-    closest-hit intermediates, so auto picks the widest tile with
-    n_pad * tile <= 128 * 4096, capped at the actual ray count.
-    Results are tile-invariant: the in-kernel RNG keys on the global
-    ray index. Inputs not a tile multiple are zero-padded here and
-    sliced back."""
+    `tile` = rays per grid step (0 = auto). The per-bounce body is a
+    long 1-D scalar chain (~300 ops) whose cost at tile=1024 is Mosaic
+    per-op dispatch, not compute — wider tiles amortize it. The loop
+    runs as ONE KERNEL PER BOUNCE chained over the [ST_CH] state pack
+    (HBM round trip ~1 ms/bounce at 1080p), which keeps each compile
+    O(one bounce): the monolithic depth-5 kernel OOM-killed the XLA
+    compile helper beyond tile 1024 (prof/prof_gi_tile.py). In-kernel
+    hit tests are chunked to <= 1024 lanes, so the wide tile only
+    widens the 1-D chain. Results are tile-invariant: the in-kernel
+    RNG keys on the global ray index. Inputs not a tile multiple are
+    zero-padded here and sliced back."""
     from .fused_di import _lp2, _round_up, _split_planes
 
     g_in = in_pack.shape[1]
@@ -702,8 +767,10 @@ def gi_trace_pallas(
     n_pad = _round_up(max(n_tri, 128), 128)
     assert n_pad <= 1024, "fused GI is for VMEM-resident scenes"
     if tile <= 0:
-        tile = 4096 if n_pad <= 128 else (2048 if n_pad <= 256 else 1024)
-        tile = min(tile, _round_up(g_in * 128, 128))
+        tile = min(1024, _round_up(g_in * 128, 128))
+    if groups is None:
+        # bounces per kernel; (depth,) = the whole loop in one kernel
+        groups = (depth,)
     tg = tile // 128
     g = _round_up(g_in, tg)
     if g != g_in:
@@ -739,38 +806,71 @@ def gi_trace_pallas(
 
     n_tiles = g // tg
     full_p = lambda i: (0, 0)  # noqa: E731
-    kern = functools.partial(
-        _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
-        n_lights=n_lights, depth=depth, single_sided=single_sided,
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((IN_CH, tg, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ATTR_COLS, n_pad), full_p,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((MAT_COLS, m_pad), full_p,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LT_ROWS, l_pad), full_p,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (GO_CH, tg, 128), lambda i: (0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((GO_CH, g, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(_lp2(looper, pix0), in_pack, xu, xv, xw, attr_t, mat_t, lt, scal)
+
+    # seed the state pack from the primary-hit inputs (channel shuffle;
+    # see the ST_* layout note)
+    zero3 = jnp.zeros((3, g, 128), jnp.float32)
+    one1 = jnp.ones((1, g, 128), jnp.float32)
+    st = jnp.concatenate([
+        zero3, zero3, zero3, zero3,                      # LO NV XS NS
+        one1, one1 * 0.0,                                # PDF DELTA
+        in_pack[IN_POS:IN_POS + 3],                      # POS
+        in_pack[IN_NORM:IN_NORM + 3],                    # NORM
+        -in_pack[IN_DIR:IN_DIR + 3],                     # WO
+        in_pack[IN_MTYPE:IN_MTYPE + 1],
+        zero3,                                           # BASE
+        in_pack[IN_METAL:IN_METAL + 1],
+        in_pack[IN_ROUGH:IN_ROUGH + 1],
+        in_pack[IN_IOR:IN_IOR + 1],
+        in_pack[IN_ALIVE:IN_ALIVE + 1],
+        one1, one1, one1,                                # THR
+    ], axis=0)
+
+    lp = _lp2(looper, pix0)
+    d0 = 1
+    for gsz in groups:
+        if d0 > depth:
+            break
+        d1 = min(d0 + int(gsz) - 1, depth)
+        kern = functools.partial(
+            _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
+            n_lights=n_lights, d_lo=d0, d_hi=d1,
+            single_sided=single_sided,
+        )
+        d0 = d1 + 1
+        st = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ST_CH, tg, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ATTR_COLS, n_pad), full_p,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((MAT_COLS, m_pad), full_p,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LT_ROWS, l_pad), full_p,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ST_CH, tg, 128), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((ST_CH, g, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(lp, st, xu, xv, xw, attr_t, mat_t, lt, scal)
+
+    # GO = the layout-aligned first 14 state channels + zero padding
+    out = jnp.concatenate(
+        [st[:GO_DELTA + 1],
+         jnp.zeros((GO_CH - GO_DELTA - 1, g, 128), jnp.float32)], axis=0)
     return out[:, :g_in] if g != g_in else out
 
 

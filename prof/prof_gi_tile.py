@@ -58,13 +58,21 @@ for spec in _var.split("|"):
 
 outs = {}
 for name, fn in list(variants.items()):
-    try:
-        t0 = time.time()
-        outs[name] = fn()
-        float(jnp.sum(outs[name]))
-        print(f"tile {name}: compiled {time.time()-t0:.1f}s", flush=True)
-    except Exception as e:
-        print(f"tile {name}: FAILED {type(e).__name__}: {e}", flush=True)
+    # the remote compile helper OOM-kills flakily under memory pressure
+    # (SIGKILL 9) — retry with a backoff before declaring a variant dead
+    for attempt in range(3):
+        try:
+            t0 = time.time()
+            outs[name] = fn()
+            float(jnp.sum(outs[name]))
+            print(f"tile {name}: compiled {time.time()-t0:.1f}s",
+                  flush=True)
+            break
+        except Exception as e:
+            print(f"tile {name}: attempt {attempt} FAILED "
+                  f"{type(e).__name__}: {e}", flush=True)
+            time.sleep(90)
+    else:
         del variants[name]
 
 import numpy as np

@@ -57,8 +57,15 @@ def main():
         scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
         width=width, height=height, aa_jitter=cfg.aa_jitter,
         single_sided=cfg.single_sided_lights))
-    print("G:", round(timeit(gb_fn), 1))
-    gb = gb_fn()
+    gb_sub_fn = jax.jit(lambda: fk.gbuffer_pack_pallas(
+        cam_vec, cam_vec, looper, scene.tri_xform, scene.prim_attr,
+        scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
+        width=width, height=height, aa_jitter=cfg.aa_jitter,
+        single_sided=cfg.single_sided_lights))
+    print("G (cluster pairs):", round(timeit(gb_fn), 1))
+    print("G (sub-blocks):", round(timeit(gb_sub_fn), 1))
+    gb = gb_sub_fn()
     prev = jnp.zeros((fk.PT_CH, r))
 
     reuse_fn = lambda: fk.reuse_pallas(  # noqa: E731

@@ -136,6 +136,7 @@ def step_fused(
     gb = fk.gbuffer_pack_pallas(
         cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
         scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
         width=cfg.width, height=cfg.height,
         aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
         has_env=has_env, env_tile_rad=scene.env_tile_rad,

@@ -858,6 +858,177 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
     )
 
 
+def _dot_t_exact(a, b_exact):
+    """f32-exact a.T @ b for exactly-bf16-representable b (one-hot
+    selectors): contraction on dim 0 of BOTH operands, so the [rows,
+    lanes] tri-major attr buffer feeds the MXU without an explicit
+    transpose. Mirrors dot_exact_b's hi/mid/lo split."""
+    dn = (((0,), (0,)), ((), ()))
+    bb = b_exact.astype(jnp.bfloat16)
+    ah, am, al = _hi_mid_lo(a)
+
+    def f(x):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), bb, dn,
+            preferred_element_type=jnp.float32)
+
+    return f(ah) + (f(am) + f(al))
+
+
+def _gbuffer_kernel_sub(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
+                        looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref,
+                        env_ref, atlas_ref, texmeta_ref, out_ref, ids_ref,
+                        ids_sem, xpb_ref, attrb_ref, geo_sem,
+                        *, m_pad, width, height, aa_jitter,
+                        single_sided, has_env, with_textures):
+    """Streaming closest hit over per-tile frustum-exact 32-tri
+    SUB-BLOCK work lists (the closest-hit twin of _vis_sorted_kernel;
+    the reference's per-ray BVH walk, scene.h:245-284). Each iteration
+    flushes EIGHT sub-blocks: [32, 128] tri-major plane AND attr slices
+    DMA along sublanes into [256, 128] buffers, the FMA hit chain runs
+    once at [256, B], and the winner's attr row is extracted with a
+    contraction-on-dim-0 exact dot. The list is front-to-back by
+    camera->AABB distance, so the walk stops once every ray's best hit
+    is nearer than the next flush's first block can be."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile = ti * pl.num_programs(1) + tj
+    cg = 8
+    b = cg * 128
+    x, y, pix = _tile_raster_xy(width)
+    kp = ids_ref.shape[0]
+    ids_dma = pltpu.make_async_copy(
+        ids_hbm_ref.at[pl.ds(pl.multiple_of(tile * kp, 1024), kp)],
+        ids_ref, ids_sem,
+    )
+    ids_dma.start()
+    looper = looper_ref[0]
+    ox, oy, oz, dx, dy, dz = _raygen(
+        cam_ref, looper, x, y, pix, width=width, height=height,
+        aa_jitter=aa_jitter,
+    )
+    oxr, oyr, ozr = (v.reshape(1, b) for v in (ox, oy, oz))
+    dxr, dyr, dzr = (v.reshape(1, b) for v in (dx, dy, dz))
+
+    ids_dma.wait()
+    count = counts_ref[tile]
+    # flushes of 8 blocks; tail entries beyond `count` are just the
+    # nearest non-crossing blocks (argsort order) — testing them is
+    # harmless for closest hit
+    nflush = (count + 7) // 8
+
+    def fetch(f, slot, wait):
+        for q in range(8):
+            blk = ids_ref[f * 8 + q]
+            row = pl.multiple_of(blk * 32, 32)
+            cp = pltpu.make_async_copy(
+                xp_hbm_ref.at[pl.ds(row, 32), :],
+                xpb_ref.at[slot, 32 * q:32 * (q + 1), :],
+                geo_sem.at[slot, q],
+            )
+            cp.wait() if wait else cp.start()
+            ca = pltpu.make_async_copy(
+                attr_hbm_ref.at[pl.ds(row, 32), :],
+                attrb_ref.at[slot, 32 * q:32 * (q + 1), :],
+                geo_sem.at[slot, 8 + q],
+            )
+            ca.wait() if wait else ca.start()
+
+    @pl.when(nflush > 0)
+    def _():
+        fetch(0, 0, False)
+
+    def bcp(xp, lo):
+        return jnp.broadcast_to(xp[:, lo:lo + 1], (256, b))
+
+    def body(state):
+        f, _, carry = state
+        best_dist, best_prim, best_u, best_v, best_attr = carry
+        slot = jax.lax.rem(f, 2)
+
+        @pl.when(f + 1 < nflush)
+        def _():
+            fetch(f + 1, jax.lax.rem(f + 1, 2), False)
+
+        fetch(f, slot, True)
+
+        xp = xpb_ref[slot]  # [256, 128] = 8 blocks x 32 tris, tri-major
+        oou = bcp(xp, 0) * oxr + bcp(xp, 1) * oyr + bcp(xp, 2) * ozr \
+            + bcp(xp, 3)
+        oov = bcp(xp, 4) * oxr + bcp(xp, 5) * oyr + bcp(xp, 6) * ozr \
+            + bcp(xp, 7)
+        oow = bcp(xp, 8) * oxr + bcp(xp, 9) * oyr + bcp(xp, 10) * ozr \
+            + bcp(xp, 11)
+        ddu = bcp(xp, 0) * dxr + bcp(xp, 1) * dyr + bcp(xp, 2) * dzr
+        ddv = bcp(xp, 4) * dxr + bcp(xp, 5) * dyr + bcp(xp, 6) * dzr
+        ddw = bcp(xp, 8) * dxr + bcp(xp, 9) * dyr + bcp(xp, 10) * dzr
+        nondeg = jnp.abs(ddw) >= 1e-12
+        t = -oow / jnp.where(nondeg, ddw, 1.0)
+        u = oou + t * ddu
+        v = oov + t * ddv
+        hit = nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        dist = jnp.where(hit, t, _BIG)
+        j = jnp.argmin(dist, axis=0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (256, b), 0)
+        oh_best = row_ids == j[None, :]
+        d_best = jnp.min(dist, axis=0)
+        u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=0)
+        v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=0)
+        # global prim id: row q*32+r in flush f is tri ids[f*8+q]*32 + r
+        prim_new = jnp.full((b,), 0, jnp.int32)
+        for q in range(8):
+            blk = ids_ref[f * 8 + q]
+            in_q = (j >= 32 * q) & (j < 32 * (q + 1))
+            prim_new = jnp.where(in_q, j - 32 * q + blk * 32, prim_new)
+        attr_best = _dot_t_exact(
+            attrb_ref[slot], oh_best.astype(jnp.float32)
+        )[:ATTR_COLS]  # [ATTR_COLS, B]
+        closer = d_best < best_dist
+        carry = (
+            jnp.minimum(best_dist, d_best),
+            jnp.where(closer, prim_new, best_prim),
+            jnp.where(closer, u_best, best_u),
+            jnp.where(closer, v_best, best_v),
+            jnp.where(closer[None, :], attr_best, best_attr),
+        )
+        # occlusion early-out: front-to-back list; once every ray's best
+        # hit is nearer than the NEXT flush's first block, stop
+        nxt = ids_ref[jnp.minimum(8 * (f + 1), jnp.maximum(count - 1, 0))]
+        done = (f + 1 >= nflush) | (jnp.max(carry[0]) < dmin_ref[nxt])
+        return (f + 1, done, carry)
+
+    def cond(state):
+        f, done, _ = state
+        return jnp.logical_not(done)
+
+    init = (
+        jnp.int32(0),
+        count <= 0,
+        (
+            jnp.full((b,), _BIG, jnp.float32),
+            jnp.full((b,), NULL_PRIMITIVE, jnp.int32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.zeros((ATTR_COLS, b), jnp.float32),
+        ),
+    )
+    n_done, _, (best_dist, best_prim, best_u, best_v, a) = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    # drain the in-flight prefetch when the loop exited early
+    @pl.when((n_done > 0) & (n_done < nflush))
+    def _():
+        fetch(n_done, jax.lax.rem(n_done, 2), True)
+    _gbuffer_epilogue(
+        out_ref, lcam_ref, mat_ref, best_dist, best_prim, best_u, best_v,
+        a, x, y, ox, oy, oz, dx, dy, dz,
+        m_pad=m_pad, width=width, height=height, single_sided=single_sided,
+        env_rad_ref=env_ref if has_env else None,
+        tex_refs=(atlas_ref, texmeta_ref) if with_textures else None,
+    )
+
+
 def pack_camera(cam, width: int, height: int):
     """Camera -> [16] f32 SMEM vector for the fused kernels."""
     tanf = jnp.tan(jnp.deg2rad(cam.fov_y))
@@ -951,8 +1122,8 @@ def _primary_cluster_lists(cam_vec, width, height, tile, cluster_lo,
                                               "with_textures", "interpret"))
 def gbuffer_pack_pallas(
     cam_vec, lcam_vec, looper, tri_xform, prim_attr, mat_attr,
-    cluster_lo, cluster_hi,
-    width: int, height: int, aa_jitter: bool = True,
+    cluster_lo, cluster_hi, sub_lo=None, sub_hi=None,
+    width: int = 0, height: int = 0, aa_jitter: bool = True,
     single_sided: bool = True, nb: int = 128,
     has_env: bool = False, env_tile_rad=None,
     with_textures: bool = False, fused_atlas=None, fused_tex_meta=None,
@@ -1073,9 +1244,80 @@ def gbuffer_pack_pallas(
           xy, xpt_res, attr_res, mat_t, env8, atlas, meta_t)
         return out
 
-    # per-tile frustum-culled cluster work lists (front-to-back)
+    # per-tile frustum-culled work lists (front-to-back)
     assert xy is None, "sharded row bands need the resident path"
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
+    if sub_lo is not None:
+        # 32-tri SUB-BLOCK granularity (the closest-hit twin of the
+        # shadow-vis sub-block lists): frustum-exact lists vs the 4x
+        # tighter sub-AABBs cut tested tris x rays ~2-3x vs whole
+        # 128-tri clusters
+        counts, ids, dmin = _primary_cluster_lists(
+            cam_vec, width, height, 1024, sub_lo, sub_hi
+        )
+        kp = _round_up(ids.shape[1], 1024)
+        if kp != ids.shape[1]:
+            ids = jnp.concatenate(
+                [ids, jnp.zeros((ids.shape[0], kp - ids.shape[1]),
+                                jnp.int32)], 1)
+        ids = ids.reshape(-1)
+        # tri-major attr table [n_pad, 128] (ATTR_COLS lanes used):
+        # 32-row sublane DMA slices; extraction via _dot_t_exact
+        attr_tm = jnp.concatenate(
+            [attr.astype(jnp.float32),
+             jnp.zeros((n_pad, 128 - ATTR_COLS), jnp.float32)], axis=1)
+        g = r // 128
+        kernel = functools.partial(
+            _gbuffer_kernel_sub, m_pad=m_pad, width=width, height=height,
+            aa_jitter=aa_jitter, single_sided=single_sided,
+            has_env=has_env, with_textures=with_textures,
+        )
+        full = lambda i, j, *_: (0, 0)  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(height // 8, width // 128),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # ids table (HBM, flat)
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # tri planes (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # tri-major attrs (HBM)
+                pl.BlockSpec((MAT_COLS, m_pad), full,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(env8.shape, lambda i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(atlas.shape, lambda i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(meta_t.shape, lambda i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (GB_CH, 1, 1, 8, 128), lambda i, j, *_: (0, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((kp,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 256, 128), jnp.float32),
+                pltpu.VMEM((2, 256, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 16)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (GB_CH, height // 8, width // 128, 8, 128), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(counts, dmin, ids, cam_vec, lcam_vec,
+          _lp2(looper, pix0), xplanes, attr_tm, mat_t, env8, atlas, meta_t)
+        return _untile_pack(out, width, height)
+
     counts, ids, dmin = _primary_cluster_lists(
         cam_vec, width, height, 1024, cluster_lo, cluster_hi
     )

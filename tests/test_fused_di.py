@@ -43,12 +43,13 @@ def _cfg(**kw):
     return RenderConfig(**kw)
 
 
-def _gb_pack(scene, cam, cfg, looper, last_cam=None):
+def _gb_pack(scene, cam, cfg, looper, last_cam=None, sub=False):
     cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
     lcam_vec = fk.pack_camera(last_cam or cam, cfg.width, cfg.height)
     return fk.gbuffer_pack_pallas(
         cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
         scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo if sub else None, scene.sub_hi if sub else None,
         width=cfg.width, height=cfg.height,
         aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
         interpret=True,
@@ -231,15 +232,19 @@ def test_streaming_reuse_matches_resident(monkeypatch):
     cfg = _cfg(width=128, height=32, aa_jitter=False)
     looper = jnp.uint32(3)
 
-    # kernel G: the streaming hit loop (frustum-culled front-to-back
-    # cluster lists) must reproduce the resident brute loop
+    # kernel G: the streaming hit loops (frustum-culled front-to-back
+    # 128-tri cluster lists AND 32-tri sub-block lists) must reproduce
+    # the resident brute loop
     gb = _gb_pack(scene, cam, cfg, looper)
+    gb_sub = _gb_pack(scene, cam, cfg, looper, sub=True)
     with monkeypatch.context() as mp:
         mp.setattr(fk, "_RESIDENT_MAX_TRIS", 10 ** 9)
         fk.gbuffer_pack_pallas.clear_cache()
         gb_res = _gb_pack(scene, cam, cfg, looper)
     fk.gbuffer_pack_pallas.clear_cache()
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_res),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_sub), np.asarray(gb_res),
                                rtol=2e-4, atol=1e-5)
     rng = np.random.default_rng(11)
     prev = jnp.asarray(

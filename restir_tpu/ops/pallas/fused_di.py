@@ -1659,13 +1659,13 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
     to the reference's per-ray BVH any-hit walk (scene.h:286-316).
 
     Each iteration flushes EIGHT sub-blocks: their plane rows are
-    DMA-gathered along SUBLANES (tri-major [32, 16] slices of the
+    DMA-gathered along SUBLANES (tri-major [32, 128] slices of the
     transposed plane table — lane starts must be 128-aligned, sublane
-    starts only 8-aligned) into one [256, 16] operand, and a single
-    block-diagonal dot computes all three plane projections at both
-    ray endpoints: [256, 16] @ [16, 6B] where the RHS carries the
-    (origin|direction) 4-vectors in sublane rows 0:4 / 4:8 / 8:12 of
-    its three lane thirds — 3 bf16 passes per flush instead of 9.
+    starts only 8-aligned) into one [256, 128] buffer, and the plane
+    projections run as broadcast FMA chains at [256, B] (sub-block
+    plane columns broadcast against ray-channel rows) — exact in f32
+    on the VPU, replacing the earlier 3-pass bf16-split dot whose
+    hi/mid/lo passes tripled the MXU MACs (8.7 -> 11.7 fps headline).
     List tails are SENTINEL blocks (zero planes, always miss).
     Outputs the occlusion flag per sorted ray; temporal merge runs in
     a separate kernel in original pixel order."""
@@ -2086,23 +2086,39 @@ def _ray_cluster_crossing(o3, d3, tmax, live, tile, cluster_lo, cluster_hi,
     return any_cross.reshape(n_t, kz)
 
 
-def _wavefront_perm(o3, d3, live, cluster_lo, cluster_hi):
-    """Global shadow-ray sort permutation: key = (coarse origin cell,
-    quantized direction). Coherent rays land in the same 1024-ray tile,
-    so per-tile cluster work lists collapse toward the per-ray crossing
-    mean (measured on the 81k-tri hall: union mean 240 -> 49 of 634;
-    per-ray exact mean 14). Dead rays sort to the tail, so fully-dead
-    tiles skip their streaming loop entirely."""
+def _wavefront_key(o3c, w3, live, cluster_lo, cluster_hi):
+    """Shadow-ray wavefront sort key = (coarse origin cell, quantized
+    direction), computed on CHANNEL ROWS ([R] per axis). Coherent rays
+    land in the same 1024-ray tile, so per-tile cluster work lists
+    collapse toward the per-ray crossing mean (measured on the 81k-tri
+    hall: union mean 240 -> 49 of 634; per-ray exact mean 14). Dead
+    rays sort to the tail, so fully-dead tiles skip their streaming
+    loop entirely."""
     lo_w = jnp.min(cluster_lo, axis=0)
     ext = jnp.maximum(jnp.max(cluster_hi, axis=0) - lo_w, 1e-6)
     # origin: 2 bits/axis; direction: 3 bits/axis (prof/prof_wavefront)
-    q = jnp.clip(((o3 - lo_w) / ext * 4.0).astype(jnp.int32), 0, 3)
-    pos6 = (q[:, 0] << 4) | (q[:, 1] << 2) | q[:, 2]
-    nrm = jnp.maximum(jnp.max(jnp.abs(d3), axis=1, keepdims=True), 1e-9)
-    dq = ((d3 / nrm + 1.0) * 3.5).astype(jnp.int32)
-    dir9 = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
+    q = [jnp.clip(((o3c[ax] - lo_w[ax]) / ext[ax] * 4.0).astype(jnp.int32),
+                  0, 3) for ax in range(3)]
+    pos6 = (q[0] << 4) | (q[1] << 2) | q[2]
+    nrm = jnp.maximum(jnp.maximum(jnp.abs(w3[0]), jnp.abs(w3[1])),
+                      jnp.abs(w3[2]))
+    nrm = jnp.maximum(nrm, 1e-9)
+    dq = [((w3[ax] / nrm + 1.0) * 3.5).astype(jnp.int32) for ax in range(3)]
+    dir9 = (dq[0] << 6) | (dq[1] << 3) | dq[2]
     key = (pos6 << 9) | dir9
-    key = jnp.where(live, key, jnp.int32(0x7FFFFFFF))
+    return jnp.where(live, key, jnp.int32(0x7FFFFFFF))
+
+
+def _wavefront_perm(o3, d3, live, cluster_lo, cluster_hi):
+    """[R, 3]-input wrapper around _wavefront_key returning (perm, inv).
+    Kept for the prof harnesses; the pipeline uses the payload-carrying
+    sort instead (a 2M-row XLA take costs ~50 ms — ~2.4 ns/element,
+    per-element loads — while an 11-operand lax.sort moves the same
+    payload in ~16 ms and a 2-operand re-sort by the carried perm
+    replaces the inverse-permutation gather, prof/prof_take2.py)."""
+    o3c = [o3[:, ax] for ax in range(3)]
+    w3 = [d3[:, ax] for ax in range(3)]
+    key = _wavefront_key(o3c, w3, live, cluster_lo, cluster_hi)
     perm = jnp.argsort(key)
     r = perm.shape[0]
     inv = jnp.zeros((r,), jnp.int32).at[perm].set(
@@ -2301,14 +2317,21 @@ def reuse_pallas(
         o3c = [gb_pack[G_POS + ax].reshape(-1) + w3[ax] * 1e-5
                for ax in range(3)]
         limit = rs[RS_DIST].reshape(-1) * (1.0 - 1e-3) - 1e-4
-        o3 = jnp.stack(o3c, axis=-1)
-        d3 = jnp.stack(w3, axis=-1)
-        perm, inv_perm = _wavefront_perm(o3, d3, live, cluster_lo,
-                                         cluster_hi)
-        rp = jnp.stack(
-            o3c + w3 + [limit, gb_pack[G_PRIM].reshape(-1),
-                        live.astype(jnp.float32)], axis=0)  # [RP_CH, R]
-        rp = jnp.take(rp, perm, axis=1)
+        key = _wavefront_key(o3c, w3, live, cluster_lo, cluster_hi)
+        # payload-carrying sort: the key rides with the 9 rp channels
+        # and an iota (-> perm), ~16 ms vs ~50 ms for argsort + a 2M-row
+        # XLA take (per-element loads; prof/prof_take2.py). Stable sort
+        # with an iota payload == jnp.argsort, so the perm (and every
+        # downstream bit) is unchanged.
+        srt = jax.lax.sort(
+            (key, jnp.arange(key.shape[0], dtype=jnp.int32))
+            + tuple(o3c) + tuple(w3)
+            + (limit, gb_pack[G_PRIM].reshape(-1),
+               live.astype(jnp.float32)),
+            num_keys=1,
+        )
+        perm = srt[1]
+        rp = jnp.stack(srt[2:], axis=0)  # [RP_CH, R], sorted
         # limit as the crossing tmax is exact: a blocking triangle at
         # tt < limit lies inside its sub-block AABB, so t_near <= tt
         vcounts, vids, v_kp = _sub_block_lists(
@@ -2390,7 +2413,11 @@ def reuse_pallas(
         ),
         interpret=interpret,
     )(vcounts, vids, rp, xplanes_t)
-    occ = jnp.take(occ_s.reshape(-1), inv_perm).reshape(1, g, 128)
+    # unsort by re-sorting on the carried perm (perm is a permutation of
+    # iota, so this is exact; ~7 ms vs inverse-perm scatter + take)
+    occ = jax.lax.sort(
+        (perm, occ_s.reshape(-1)), num_keys=1
+    )[1].reshape(1, g, 128)
 
     # ---- kernel R2b: temporal merge in original pixel order
     mk = functools.partial(

@@ -116,31 +116,34 @@ def main():
     print("R1:", round(timeit(r1_fn), 1))
     rs = r1_fn()
 
-    # XLA glue: perm + payload gather + lists
-    def glue():
+    # XLA glue: payload-carrying sort + lists (gb/rs as jit ARGS —
+    # closed-over constants let XLA fold gathers and lie)
+    def glue(gb, rs):
         shade = gb[fk.G_SHADE].reshape(-1) > 0.5
         live = shade & (rs[fk.RS_W].reshape(-1) > 0.0)
         w3 = [rs[fk.RS_WI + ax].reshape(-1) for ax in range(3)]
         o3c = [gb[fk.G_POS + ax].reshape(-1) + w3[ax] * 1e-5
                for ax in range(3)]
         limit = rs[fk.RS_DIST].reshape(-1) * (1.0 - 1e-3) - 1e-4
-        o3 = jnp.stack(o3c, axis=-1)
-        d3 = jnp.stack(w3, axis=-1)
-        perm, inv_perm = fk._wavefront_perm(
-            o3, d3, live, scene.cluster_lo, scene.cluster_hi)
-        rp = jnp.stack(
-            o3c + w3 + [limit, gb[fk.G_PRIM].reshape(-1),
-                        live.astype(jnp.float32)], axis=0)
-        rp = jnp.take(rp, perm, axis=1)
+        key = fk._wavefront_key(o3c, w3, live, scene.cluster_lo,
+                                scene.cluster_hi)
+        srt = jax.lax.sort(
+            (key, jnp.arange(key.shape[0], dtype=jnp.int32))
+            + tuple(o3c) + tuple(w3)
+            + (limit, gb[fk.G_PRIM].reshape(-1),
+               live.astype(jnp.float32)),
+            num_keys=1)
+        perm = srt[1]
+        rp = jnp.stack(srt[2:], axis=0)
         vcounts, vids, v_kp = fk._sub_block_lists(
             rp[fk.RP_O:fk.RP_O + 3], rp[fk.RP_D:fk.RP_D + 3],
             rp[fk.RP_LIM], rp[fk.RP_LIVE] > 0.5, fk._TILE,
             scene.sub_lo, scene.sub_hi)
-        return vcounts, vids, rp.reshape(fk.RP_CH, g, 128), inv_perm
+        return vcounts, vids, rp.reshape(fk.RP_CH, g, 128), perm
 
     glue_j = jax.jit(glue)
-    print("glue (sort+lists):", round(timeit(lambda: glue_j()[1]), 1))
-    vcounts, vids, rp, inv_perm = glue_j()
+    print("glue (sort+lists):", round(timeit(lambda: glue_j(gb, rs)[1]), 1))
+    vcounts, vids, rp, perm = glue_j(gb, rs)
     v_kp = fk._round_up(scene.sub_lo.shape[0], 1024)
 
     n_tri = scene.tri_xform.shape[1] // 3
@@ -179,8 +182,10 @@ def main():
     )(vcounts, vids, rp, xplanes))
     print("vis kernel:", round(timeit(vis_fn), 1))
     occ_s = vis_fn()
-    print("unsort occ:", round(timeit(jax.jit(
-        lambda: jnp.take(occ_s.reshape(-1), inv_perm))), 1))
+    unsort_j = jax.jit(lambda p, o: jax.lax.sort(
+        (p, o.reshape(-1)), num_keys=1)[1])
+    print("unsort occ:", round(timeit(
+        lambda: unsort_j(perm, occ_s)), 1))
 
 
 if __name__ == "__main__":

@@ -401,7 +401,10 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
 
     def occluded_test(ox_, oy_, oz_, tx_, ty_, tz_, active):
         """Any-hit x -> target (ops/intersect_bf.test_occlusion_bf
-        semantics: offset origin, limit = dist - 2e-4)."""
+        semantics: offset origin, limit = dist - 2e-4). TRUE any-hit:
+        `any(hit & t < limit)` is bitwise `min_hit_dist < limit`, so
+        the closest-hit trace's argmin / min / one-hot u,v extraction
+        (~5 [n_pad, hb]-sized ops per chunk) are skipped."""
         sx, sy, sz = tx_ - ox_, ty_ - oy_, tz_ - oz_
         dist = jnp.sqrt(sx * sx + sy * sy + sz * sz)
         dinv = 1.0 / jnp.maximum(dist, 1e-20)
@@ -410,8 +413,31 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
         o2y = oy_ + ddy * _RAY_OFFSET
         o2z = oz_ + ddz * _RAY_OFFSET
         limit = dist - _OCCL_EPS * 2.0
-        got, d_best, _, _, _ = trace(o2x, o2y, o2z, ddx, ddy, ddz, active)
-        return active & got & (d_best < limit)
+        outs = []
+        one = jnp.ones((hb,), jnp.float32)
+        for c in range(0, b, hb):
+            sl = slice(c, c + hb)
+            oh4 = jnp.stack(
+                [o2x[sl], o2y[sl], o2z[sl], one], axis=0)  # [4, hb]
+            dh4 = jnp.stack(
+                [ddx[sl], ddy[sl], ddz[sl], one * 0.0], axis=0)
+            oh_s, dh_s = _hi_lo(oh4), _hi_lo(dh4)
+            oou = dot_f32x3(None, None, a_split=xu_t, b_split=oh_s)
+            oov = dot_f32x3(None, None, a_split=xv_t, b_split=oh_s)
+            oow = dot_f32x3(None, None, a_split=xw_t, b_split=oh_s)
+            ddu = dot_f32x3(None, None, a_split=xu_t, b_split=dh_s)
+            ddv = dot_f32x3(None, None, a_split=xv_t, b_split=dh_s)
+            ddw = dot_f32x3(None, None, a_split=xw_t, b_split=dh_s)
+            nondeg = jnp.abs(ddw) >= 1e-12
+            t = -oow / jnp.where(nondeg, ddw, 1.0)
+            u = oou + t * ddu
+            v = oov + t * ddv
+            hit2 = (
+                nondeg & (t > 0.0) & (u >= 0.0) & (v >= 0.0)
+                & (u + v <= 1.0) & (t < limit[sl][None, :])
+            )
+            outs.append(jnp.max(hit2.astype(jnp.float32), axis=0))
+        return active & (_cat(outs) > 0.5)
 
     def fetch_attr(prim):
         return _cat([

@@ -103,11 +103,11 @@ def main():
         o3c = [gb[fk.G_POS + ax].reshape(-1) + w3[ax] * 1e-5
                for ax in range(3)]
         limit = rs[fk.RS_DIST].reshape(-1) * (1.0 - 1e-3) - 1e-4
+        limit = jnp.where(live, jnp.maximum(limit, 0.0), -1.0)
         o3 = jnp.stack(o3c, axis=-1)
         d3 = jnp.stack(w3, axis=-1)
         rp = jnp.stack(
-            o3c + w3 + [limit, gb[fk.G_PRIM].reshape(-1),
-                        live.astype(jnp.float32)], axis=0)
+            o3c + w3 + [limit, gb[fk.G_PRIM].reshape(-1)], axis=0)
         return o3, d3, live, rp
 
     # piece 1: key+argsort perm (+inv)
@@ -131,14 +131,14 @@ def main():
     def p_cross():
         return fk._ray_cluster_crossing_rows(
             rp_s[fk.RP_O:fk.RP_O + 3], rp_s[fk.RP_D:fk.RP_D + 3],
-            rp_s[fk.RP_LIM], rp_s[fk.RP_LIVE] > 0.5, fk._TILE,
+            rp_s[fk.RP_LIM], rp_s[fk.RP_LIM] >= 0.0, fk._TILE,
             scene.sub_lo, scene.sub_hi)
 
     # piece 4: full lists from sorted rays (crossing + ids argsort)
     def p_lists():
         return fk._sub_block_lists(
             rp_s[fk.RP_O:fk.RP_O + 3], rp_s[fk.RP_D:fk.RP_D + 3],
-            rp_s[fk.RP_LIM], rp_s[fk.RP_LIVE] > 0.5, fk._TILE,
+            rp_s[fk.RP_LIM], rp_s[fk.RP_LIM] >= 0.0, fk._TILE,
             scene.sub_lo, scene.sub_hi)[1]
 
     # piece 5: everything (the real glue)
@@ -149,7 +149,7 @@ def main():
         rp = jnp.take(rp, perm, axis=1)
         vcounts, vids, kp = fk._sub_block_lists(
             rp[fk.RP_O:fk.RP_O + 3], rp[fk.RP_D:fk.RP_D + 3],
-            rp[fk.RP_LIM], rp[fk.RP_LIVE] > 0.5, fk._TILE,
+            rp[fk.RP_LIM], rp[fk.RP_LIM] >= 0.0, fk._TILE,
             scene.sub_lo, scene.sub_hi)
         return vids
 

@@ -118,32 +118,36 @@ def main():
 
     # XLA glue: payload-carrying sort + lists (gb/rs as jit ARGS —
     # closed-over constants let XLA fold gathers and lie)
-    def glue(gb, rs):
+    def glue(gb, rs, order):
         shade = gb[fk.G_SHADE].reshape(-1) > 0.5
         live = shade & (rs[fk.RS_W].reshape(-1) > 0.0)
         w3 = [rs[fk.RS_WI + ax].reshape(-1) for ax in range(3)]
         o3c = [gb[fk.G_POS + ax].reshape(-1) + w3[ax] * 1e-5
                for ax in range(3)]
         limit = rs[fk.RS_DIST].reshape(-1) * (1.0 - 1e-3) - 1e-4
+        limit = jnp.where(live, jnp.maximum(limit, 0.0), -1.0)
         key = fk._wavefront_key(o3c, w3, live, scene.cluster_lo,
                                 scene.cluster_hi)
         srt = jax.lax.sort(
             (key, jnp.arange(key.shape[0], dtype=jnp.int32))
             + tuple(o3c) + tuple(w3)
-            + (limit, gb[fk.G_PRIM].reshape(-1),
-               live.astype(jnp.float32)),
+            + (limit, gb[fk.G_PRIM].reshape(-1)),
             num_keys=1)
         perm = srt[1]
         rp = jnp.stack(srt[2:], axis=0)
         vcounts, vids, v_kp = fk._sub_block_lists(
             rp[fk.RP_O:fk.RP_O + 3], rp[fk.RP_D:fk.RP_D + 3],
-            rp[fk.RP_LIM], rp[fk.RP_LIVE] > 0.5, fk._TILE,
-            scene.sub_lo, scene.sub_hi)
+            rp[fk.RP_LIM], rp[fk.RP_LIM] >= 0.0, fk._TILE,
+            scene.sub_lo, scene.sub_hi, order=order)
         return vcounts, vids, rp.reshape(fk.RP_CH, g, 128), perm
 
-    glue_j = jax.jit(glue)
-    print("glue (sort+lists):", round(timeit(lambda: glue_j(gb, rs)[1]), 1))
-    vcounts, vids, rp, perm = glue_j(gb, rs)
+    glue_j = jax.jit(glue, static_argnames=("order",))
+    print("glue near (sort+lists):",
+          round(timeit(lambda: glue_j(gb, rs, "near")[1]), 1))
+    print("glue id   (sort+lists):",
+          round(timeit(lambda: glue_j(gb, rs, "id")[1]), 1))
+    vcounts, vids, rp, perm = glue_j(gb, rs, "near")
+    vcounts_id, vids_id, _, _ = glue_j(gb, rs, "id")
     v_kp = fk._round_up(scene.sub_lo.shape[0], 1024)
 
     n_tri = scene.tri_xform.shape[1] // 3
@@ -155,7 +159,6 @@ def main():
             [xu, xv, xw, jnp.zeros((116, n_pad), xu.dtype)], axis=0).T,
          jnp.zeros((32, 128), xu.dtype)], axis=0)
 
-    vk = fk._vis_sorted_kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -174,14 +177,33 @@ def main():
             pltpu.SemaphoreType.DMA((2, 8)),
         ],
     )
-    vis_fn = jax.jit(lambda: pl.pallas_call(
-        vk, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(vcounts, vids, rp, xplanes))
-    print("vis kernel:", round(timeit(vis_fn), 1))
-    occ_s = vis_fn()
+    def vis_fn(vc, vi, early):
+        vk = functools.partial(fk._vis_sorted_kernel, early_exit=early)
+        return jax.jit(lambda: pl.pallas_call(
+            vk, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(vc, vi, rp, xplanes))
+
+    variants = {
+        "id/noexit (old)": vis_fn(vcounts_id, vids_id, False),
+        "id/exit": vis_fn(vcounts_id, vids_id, True),
+        "near/exit": vis_fn(vcounts, vids, True),
+    }
+    import numpy as np
+    outs = {}
+    for name, f in variants.items():
+        outs[name] = f()
+        sync(outs[name])
+    ref = np.asarray(outs["id/noexit (old)"])
+    for name, o in outs.items():
+        mism = float(np.mean(np.asarray(o) != ref))
+        print(f"vis {name}: mismatch {mism:.2e}")
+    for rep in range(3):
+        for name, f in variants.items():
+            print(f"vis {name}:", round(timeit(f), 1))
+    occ_s = outs["near/exit"]
     unsort_j = jax.jit(lambda p, o: jax.lax.sort(
         (p, o.reshape(-1)), num_keys=1)[1])
     print("unsort occ:", round(timeit(

@@ -256,17 +256,17 @@ def main():
     w3 = [rs[fk.RS_WI + ax].reshape(-1) for ax in range(3)]
     o3c = [gb[fk.G_POS + ax].reshape(-1) + w3[ax] * 1e-5 for ax in range(3)]
     limit = rs[fk.RS_DIST].reshape(-1) * (1.0 - 1e-3) - 1e-4
+    limit = jnp.where(live, jnp.maximum(limit, 0.0), -1.0)
     o3 = jnp.stack(o3c, axis=-1)
     d3 = jnp.stack(w3, axis=-1)
     perm, inv_perm = fk._wavefront_perm(
         o3, d3, live, scene.cluster_lo, scene.cluster_hi)
     rp = jnp.stack(
-        o3c + w3 + [limit, gb[fk.G_PRIM].reshape(-1),
-                    live.astype(jnp.float32)], axis=0)
+        o3c + w3 + [limit, gb[fk.G_PRIM].reshape(-1)], axis=0)
     rp = jnp.take(rp, perm, axis=1)
     vcounts, vids, v_kp = fk._sub_block_lists(
         rp[fk.RP_O:fk.RP_O + 3], rp[fk.RP_D:fk.RP_D + 3],
-        rp[fk.RP_LIM], rp[fk.RP_LIVE] > 0.5, fk._TILE,
+        rp[fk.RP_LIM], rp[fk.RP_LIM] >= 0.0, fk._TILE,
         scene.cluster_lo, scene.cluster_hi)
     rp = rp.reshape(fk.RP_CH, g, 128)
     import numpy as np

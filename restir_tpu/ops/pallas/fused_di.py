@@ -1640,14 +1640,16 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
 # ([RP_CH, R] in SORTED ray order; built XLA-side in reuse_pallas)
 RP_O = 0  # 3: shadow-ray origin (hit pos nudged along wi)
 RP_D = 3  # 3: winner direction
-RP_LIM = 6  # occlusion t limit (dist * (1-1e-3) - 1e-4)
+RP_LIM = 6  # occlusion t limit, >= 0 (dist * (1-1e-3) - 1e-4 clamped);
+#             SIGN carries liveness: -1.0 where no shadow ray exists
+#             (one fewer lax.sort payload operand, ~1.5 ms at 1080p)
 RP_PRIM = 7  # origin triangle id (self-exclusion)
-RP_LIVE = 8  # 1.0 where a shadow ray exists
-RP_CH = 9
+RP_CH = 8
 
 
 def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
-                       out_ref, vids_ref, ids_sem, xpb_ref, geo_sem):
+                       out_ref, vids_ref, ids_sem, xpb_ref, geo_sem,
+                       early_exit=True):
     """Winner visibility (restir.cu:172-176) over WAVEFRONT-SORTED rays
     with 32-tri SUB-BLOCK work lists.
 
@@ -1692,7 +1694,7 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
     dzr = ch(RP_D + 2).reshape(1, b)
     limit = ch(RP_LIM).reshape(1, b)
     prim_origin = ch(RP_PRIM).astype(jnp.int32)
-    live = ch(RP_LIVE) > 0.5
+    live = ch(RP_LIM) >= 0.0
 
     def bcp(xp, lo):
         return jnp.broadcast_to(xp[:, lo:lo + 1], (256, b))
@@ -1757,7 +1759,32 @@ def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
         )
 
     occ0 = jnp.where(~live, 1.0, 0.0)
-    occluded = jax.lax.fori_loop(0, nflush, vis_body, occ0)
+    if not early_exit:
+        occluded = jax.lax.fori_loop(0, nflush, vis_body, occ0)
+        out_ref[0, :, :] = occluded.reshape(cg, 128)
+        return
+    # all-occluded EARLY EXIT: dead rays start occluded, the work lists
+    # are front-to-back ordered, and the wavefront sort makes the 1024
+    # lockstep rays coherent — fully shadowed tiles stop after the
+    # first few flushes instead of scanning the whole list (the
+    # round-3 "net loss" measurement predates the global sort). The
+    # exit leaves one prefetched flush's DMA in flight; drain it.
+    def vis_cond(carry):
+        f, occluded = carry
+        return jnp.logical_and(f < nflush, jnp.min(occluded) < 0.5)
+
+    def vis_body_w(carry):
+        f, occluded = carry
+        return f + 1, vis_body(f, occluded)
+
+    f_end, occluded = jax.lax.while_loop(
+        vis_cond, vis_body_w, (jnp.int32(0), occ0)
+    )
+
+    @pl.when(f_end < nflush)
+    def _():
+        fetch(f_end, jax.lax.rem(f_end, 2), True)
+
     out_ref[0, :, :] = occluded.reshape(cg, 128)
 
 
@@ -2151,8 +2178,14 @@ def _ray_cluster_crossing_rows(o3r, d3r, tmax, live, tile, blo, bhi):
     def per_band(args):
         o_b, d_b, tm_b, lv_b = args  # o_b, d_b: [3, br]
         tiny = 1e-12
-        t_near = jnp.full((br, kz), -3e38, jnp.float32)
-        t_far = jnp.full((br, kz), 3e38, jnp.float32)
+        # fold liveness into tmax ([br] op, not a [br, S] mask) and
+        # collapse the exit test: with tn0 = max(t_near, 0),
+        # (t_far>=t_near & t_far>=0 & t_near<=tm & live) == for live
+        # rays (tn0<=t_far & tn0<=tm) and is identically false for
+        # dead rows once tm==-1 — 3 fewer [br, S] VPU ops of ~22
+        tm2 = jnp.where(lv_b, tm_b, -1.0)
+        t_near = None
+        t_far = None
         for ax in range(3):
             d_ax = d_b[ax]
             inv = 1.0 / jnp.where(jnp.abs(d_ax) < tiny, tiny, d_ax)
@@ -2164,13 +2197,14 @@ def _ray_cluster_crossing_rows(o3r, d3r, tmax, live, tile, blo, bhi):
             # VPU (hall, S=2536)
             t1 = inv[:, None] * lo[None, :, ax] + o_inv[:, None]
             t2 = inv[:, None] * hi[None, :, ax] + o_inv[:, None]
-            t_near = jnp.maximum(t_near, jnp.minimum(t1, t2))
-            t_far = jnp.minimum(t_far, jnp.maximum(t1, t2))
-        cross = (
-            (t_far >= t_near) & (t_far >= 0.0)
-            & (t_near <= tm_b[:, None])
-            & lv_b[:, None]
-        )
+            if ax == 0:
+                t_near = jnp.minimum(t1, t2)
+                t_far = jnp.maximum(t1, t2)
+            else:
+                t_near = jnp.maximum(t_near, jnp.minimum(t1, t2))
+                t_far = jnp.minimum(t_far, jnp.maximum(t1, t2))
+        tn0 = jnp.maximum(t_near, 0.0)
+        cross = (tn0 <= t_far) & (tn0 <= tm2[:, None])
         return jnp.any(cross.reshape(band, tile, kz), axis=1)
 
     inputs = (
@@ -2182,24 +2216,38 @@ def _ray_cluster_crossing_rows(o3r, d3r, tmax, live, tile, blo, bhi):
     return any_cross.reshape(n_t, kz)
 
 
-def _sub_block_lists(o3r, d3r, tmax, live, tile, sub_lo, sub_hi):
+def _sub_block_lists(o3r, d3r, tmax, live, tile, sub_lo, sub_hi,
+                     order="near"):
     """Per-tile shadow-ray work lists over SORTED rays at 32-tri
     SUB-BLOCK granularity: per-ray-exact crossing
     (_ray_cluster_crossing_rows vs the 4-per-cluster sub-AABBs; ray
     inputs are CHANNEL ROWS [3, R]) cuts the MXU tri*ray tests ~2x vs
     whole clusters on the 81k-tri hall (prof/prof_union.py: 12.9G ->
-    6.38G). Unordered (the front-to-back any-hit early exit measured a
-    net loss at this granularity — prof/prof_vissplit: noexit 383 vs
-    full 390 ms); entries beyond the count are a SENTINEL block of
-    zero planes (always-miss). Returns (counts [T], ids flat i32,
-    kp)."""
+    6.38G). order="near" sorts each list front-to-back by box-center
+    distance from the tile's mean shadow-ray origin (a [T, S] FMA
+    chain, ~free next to the crossing itself) so the vis kernel's
+    all-occluded early exit fires as soon as the nearby blockers have
+    been tested; order="id" keeps the unordered form. Entries beyond
+    the count are a SENTINEL block of zero planes (always-miss).
+    Returns (counts [T], ids flat i32, kp)."""
     overlap = _ray_cluster_crossing_rows(
         o3r, d3r, tmax, live, tile, sub_lo, sub_hi
     )  # [T, S]
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
     s = overlap.shape[1]
-    idx = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 1)
-    key = jnp.where(overlap, idx, jnp.int32(0x7FFFFFFF))
+    if order == "near":
+        r = o3r.shape[1]
+        o_t = jnp.mean(o3r.reshape(3, r // tile, tile), axis=2)  # [3, T]
+        ctr = (sub_lo.astype(jnp.float32)
+               + sub_hi.astype(jnp.float32)) * 0.5  # [S, 3]
+        d2 = jnp.zeros(overlap.shape, jnp.float32)
+        for ax in range(3):
+            df = o_t[ax][:, None] - ctr[None, :, ax]
+            d2 = d2 + df * df
+        key = jnp.where(overlap, d2, jnp.float32(3e38))
+    else:
+        idx = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 1)
+        key = jnp.where(overlap, idx, jnp.int32(0x7FFFFFFF))
     ids = jnp.argsort(key, axis=1).astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
     ids = jnp.where(pos < counts[:, None], ids, jnp.int32(s))
@@ -2317,17 +2365,19 @@ def reuse_pallas(
         o3c = [gb_pack[G_POS + ax].reshape(-1) + w3[ax] * 1e-5
                for ax in range(3)]
         limit = rs[RS_DIST].reshape(-1) * (1.0 - 1e-3) - 1e-4
+        # liveness rides in the limit's sign (dead = -1; live limits
+        # clamp to >= 0, where `tt < 0` can never occlude anyway)
+        limit = jnp.where(live, jnp.maximum(limit, 0.0), -1.0)
         key = _wavefront_key(o3c, w3, live, cluster_lo, cluster_hi)
-        # payload-carrying sort: the key rides with the 9 rp channels
-        # and an iota (-> perm), ~16 ms vs ~50 ms for argsort + a 2M-row
+        # payload-carrying sort: the key rides with the 8 rp channels
+        # and an iota (-> perm), ~15 ms vs ~50 ms for argsort + a 2M-row
         # XLA take (per-element loads; prof/prof_take2.py). Stable sort
         # with an iota payload == jnp.argsort, so the perm (and every
         # downstream bit) is unchanged.
         srt = jax.lax.sort(
             (key, jnp.arange(key.shape[0], dtype=jnp.int32))
             + tuple(o3c) + tuple(w3)
-            + (limit, gb_pack[G_PRIM].reshape(-1),
-               live.astype(jnp.float32)),
+            + (limit, gb_pack[G_PRIM].reshape(-1)),
             num_keys=1,
         )
         perm = srt[1]
@@ -2336,7 +2386,7 @@ def reuse_pallas(
         # tt < limit lies inside its sub-block AABB, so t_near <= tt
         vcounts, vids, v_kp = _sub_block_lists(
             rp[RP_O:RP_O + 3], rp[RP_D:RP_D + 3], rp[RP_LIM],
-            rp[RP_LIVE] > 0.5, _TILE, sub_lo, sub_hi
+            rp[RP_LIM] >= 0.0, _TILE, sub_lo, sub_hi
         )
         rp = rp.reshape(RP_CH, g, 128)
     # temporal window starts are derived IN-KERNEL per tile from the

@@ -62,7 +62,11 @@ class RenderConfig:
     # candidate generation: "reference" = the CUDA design (K power-
     # proportional RIS candidates); "cdf" = TPU-native exact per-pixel
     # CDF over all lights on the MXU (ops/lights.sample_light_cdf);
-    # "auto" = cdf when possible (no env map), else reference
+    # "auto" = cdf everywhere. NOTE: on env-map scenes cdf samples the
+    # environment through a 16x32 piecewise-constant tile grid (sample
+    # radiance = tile mean), so sub-tile env features (sun disks) blur
+    # relative to exact bilinear env lookups; set ris_mode="reference"
+    # for the exact env sampler on the general (non-fused) path.
     ris_mode: str = "auto"
     cdf_candidates: int = 4
 

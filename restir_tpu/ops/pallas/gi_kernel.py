@@ -309,10 +309,10 @@ def _sample_vndf(nx, ny, nz, wox, woy, woz, alpha, rx, ry):
     return _norm3(wx, wy, wz)
 
 
-def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
-                     mat_ref, light_ref, scal_ref, out_ref,
+def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
+                     attr_ref, mat_ref, light_ref, scal_ref, out_ref,
                      *, n_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
-                     single_sided):
+                     single_sided, hit_fma=True):
     """Bounces d_lo..d_hi of the fused GI path trace over the [ST_CH]
     state pack (state advanced in place; the wrapper chains one kernel
     per bounce so compile size stays O(one bounce) while the tile width
@@ -339,17 +339,56 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
     alive = ch(ST_ALIVE) > 0.5
     basr, basg, basb = ch(ST_BASE), ch(ST_BASE + 1), ch(ST_BASE + 2)
 
-    # plane hi/lo splits hoisted once per tile ([n_pad, 4] operands)
-    xu_t = _hi_lo(xu_ref[:, :].T)
-    xv_t = _hi_lo(xv_ref[:, :].T)
-    xw_t = _hi_lo(xw_ref[:, :].T)
-
     # hit-test lane chunk: the 2-D [n_pad, lanes] closest-hit
     # intermediates are Mosaic-unrolled per vreg, so their lane width is
     # pinned at <= 1024 regardless of the tile width (wider tiles would
     # explode compile memory); the 1-D shading chain still runs at the
     # full tile width, which is where the per-op dispatch tax amortizes
     hb = min(b, 1024)
+
+    if hit_fma:
+        # VPU-FMA plane projections over the TRI-MAJOR table (the DI
+        # kernels' hit-test form, fused_di._vis_sorted_kernel): exact
+        # f32, no bf16 splits, no K=4-padded MXU passes
+        def _proj6(o3sl, d3sl, hb_):
+            oxr = o3sl[0].reshape(1, hb_)
+            oyr = o3sl[1].reshape(1, hb_)
+            ozr = o3sl[2].reshape(1, hb_)
+            dxr = d3sl[0].reshape(1, hb_)
+            dyr = d3sl[1].reshape(1, hb_)
+            dzr = d3sl[2].reshape(1, hb_)
+
+            def bcp(lo):
+                return jnp.broadcast_to(
+                    xpt_ref[:, lo:lo + 1], (n_pad, hb_))
+
+            oou = bcp(0) * oxr + bcp(1) * oyr + bcp(2) * ozr + bcp(3)
+            oov = bcp(4) * oxr + bcp(5) * oyr + bcp(6) * ozr + bcp(7)
+            oow = bcp(8) * oxr + bcp(9) * oyr + bcp(10) * ozr + bcp(11)
+            ddu = bcp(0) * dxr + bcp(1) * dyr + bcp(2) * dzr
+            ddv = bcp(4) * dxr + bcp(5) * dyr + bcp(6) * dzr
+            ddw = bcp(8) * dxr + bcp(9) * dyr + bcp(10) * dzr
+            return oou, oov, oow, ddu, ddv, ddw
+    else:
+        # plane hi/lo splits hoisted once per tile ([n_pad, 4] operands)
+        xu_t = _hi_lo(xu_ref[:, :].T)
+        xv_t = _hi_lo(xv_ref[:, :].T)
+        xw_t = _hi_lo(xw_ref[:, :].T)
+
+        def _proj6(o3sl, d3sl, hb_):
+            one = jnp.ones((hb_,), jnp.float32)
+            oh4 = jnp.stack(
+                [o3sl[0], o3sl[1], o3sl[2], one], axis=0)  # [4, hb]
+            dh4 = jnp.stack(
+                [d3sl[0], d3sl[1], d3sl[2], one * 0.0], axis=0)
+            oh_s, dh_s = _hi_lo(oh4), _hi_lo(dh4)
+            oou = dot_f32x3(None, None, a_split=xu_t, b_split=oh_s)
+            oov = dot_f32x3(None, None, a_split=xv_t, b_split=oh_s)
+            oow = dot_f32x3(None, None, a_split=xw_t, b_split=oh_s)
+            ddu = dot_f32x3(None, None, a_split=xu_t, b_split=dh_s)
+            ddv = dot_f32x3(None, None, a_split=xv_t, b_split=dh_s)
+            ddw = dot_f32x3(None, None, a_split=xw_t, b_split=dh_s)
+            return oou, oov, oow, ddu, ddv, ddw
     row_np = jax.lax.broadcasted_iota(jnp.int32, (n_pad, hb), 0)
     row_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, b), 0)
     row_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, hb), 0)
@@ -364,18 +403,9 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
         outs = ([], [], [], [])
         for c in range(0, b, hb):
             sl = slice(c, c + hb)
-            one = jnp.ones((hb,), jnp.float32)
-            oh4 = jnp.stack(
-                [ox_[sl], oy_[sl], oz_[sl], one], axis=0)  # [4, hb]
-            dh4 = jnp.stack(
-                [ddx[sl], ddy[sl], ddz[sl], one * 0.0], axis=0)
-            oh_s, dh_s = _hi_lo(oh4), _hi_lo(dh4)
-            oou = dot_f32x3(None, None, a_split=xu_t, b_split=oh_s)
-            oov = dot_f32x3(None, None, a_split=xv_t, b_split=oh_s)
-            oow = dot_f32x3(None, None, a_split=xw_t, b_split=oh_s)
-            ddu = dot_f32x3(None, None, a_split=xu_t, b_split=dh_s)
-            ddv = dot_f32x3(None, None, a_split=xv_t, b_split=dh_s)
-            ddw = dot_f32x3(None, None, a_split=xw_t, b_split=dh_s)
+            oou, oov, oow, ddu, ddv, ddw = _proj6(
+                (ox_[sl], oy_[sl], oz_[sl]),
+                (ddx[sl], ddy[sl], ddz[sl]), hb)
             nondeg = jnp.abs(ddw) >= 1e-12
             t = -oow / jnp.where(nondeg, ddw, 1.0)
             u = oou + t * ddu
@@ -414,20 +444,11 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
         o2z = oz_ + ddz * _RAY_OFFSET
         limit = dist - _OCCL_EPS * 2.0
         outs = []
-        one = jnp.ones((hb,), jnp.float32)
         for c in range(0, b, hb):
             sl = slice(c, c + hb)
-            oh4 = jnp.stack(
-                [o2x[sl], o2y[sl], o2z[sl], one], axis=0)  # [4, hb]
-            dh4 = jnp.stack(
-                [ddx[sl], ddy[sl], ddz[sl], one * 0.0], axis=0)
-            oh_s, dh_s = _hi_lo(oh4), _hi_lo(dh4)
-            oou = dot_f32x3(None, None, a_split=xu_t, b_split=oh_s)
-            oov = dot_f32x3(None, None, a_split=xv_t, b_split=oh_s)
-            oow = dot_f32x3(None, None, a_split=xw_t, b_split=oh_s)
-            ddu = dot_f32x3(None, None, a_split=xu_t, b_split=dh_s)
-            ddv = dot_f32x3(None, None, a_split=xv_t, b_split=dh_s)
-            ddw = dot_f32x3(None, None, a_split=xw_t, b_split=dh_s)
+            oou, oov, oow, ddu, ddv, ddw = _proj6(
+                (o2x[sl], o2y[sl], o2z[sl]),
+                (ddx[sl], ddy[sl], ddz[sl]), hb)
             nondeg = jnp.abs(ddw) >= 1e-12
             t = -oow / jnp.where(nondeg, ddw, 1.0)
             u = oou + t * ddu
@@ -764,13 +785,15 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, attr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "depth", "single_sided", "n_lights", "tile", "groups", "interpret"))
+    "depth", "single_sided", "n_lights", "tile", "groups", "hit_fma",
+    "interpret"))
 def gi_trace_pallas(
     in_pack, looper, tri_xform, prim_attr, mat_attr,
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
-    pix0=0, tile: int = 0, groups=None, interpret: bool = False,
+    pix0=0, tile: int = 0, groups=None, hit_fma: bool = True,
+    interpret: bool = False,
 ):
     """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
     Returns [GO_CH, R/128, 128].
@@ -804,6 +827,10 @@ def gi_trace_pallas(
             [in_pack, jnp.zeros((IN_CH, g - g_in, 128), in_pack.dtype)],
             axis=1)
     xu, xv, xw = _split_planes(tri_xform, n_pad)
+    # tri-major plane table for the FMA hit tests (cols 0:4 xu, 4:8 xv,
+    # 8:12 xw; zero lanes pad to the 128 tile anyway)
+    xpt = jnp.concatenate(
+        [xu, xv, xw, jnp.zeros((116, n_pad), xu.dtype)], axis=0).T
     attr_t = jnp.zeros((ATTR_COLS, n_pad), jnp.float32)
     attr_t = attr_t.at[:, :prim_attr.shape[0]].set(
         prim_attr.T.astype(jnp.float32)
@@ -861,7 +888,7 @@ def gi_trace_pallas(
         kern = functools.partial(
             _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
             n_lights=n_lights, d_lo=d0, d_hi=d1,
-            single_sided=single_sided,
+            single_sided=single_sided, hit_fma=hit_fma,
         )
         d0 = d1 + 1
         st = pl.pallas_call(
@@ -874,6 +901,8 @@ def gi_trace_pallas(
                 pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 128), full_p,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((ATTR_COLS, n_pad), full_p,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((MAT_COLS, m_pad), full_p,
@@ -891,7 +920,7 @@ def gi_trace_pallas(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(lp, st, xu, xv, xw, attr_t, mat_t, lt, scal)
+        )(lp, st, xu, xv, xw, xpt, attr_t, mat_t, lt, scal)
 
     # GO = the layout-aligned first 14 state channels + zero padding
     out = jnp.concatenate(

@@ -19,8 +19,10 @@ from restir_tpu.ops.camera import make_camera
 from restir_tpu.scene.procedural import cornell_box
 
 width, height = 1920, 1080
-cfg = RenderConfig(width=width, height=height, tracer=TracerType.RESTIR_GI)
 scene, camkw = cornell_box()
+from restir_tpu.config import mat_flags
+cfg = RenderConfig(width=width, height=height, tracer=TracerType.RESTIR_GI,
+                   **mat_flags(scene))
 cam = make_camera(**camkw)
 looper = jnp.uint32(1)
 
@@ -33,8 +35,8 @@ in_pack = restir_gi._build_gi_in_pack(it, mat, ray_dir)
 from restir_tpu.ops.pallas import gi_kernel as gk
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "groups"))
-def trace(in_pack, looper, tile, groups):
+@functools.partial(jax.jit, static_argnames=("tile", "groups", "hit_fma"))
+def trace(in_pack, looper, tile, groups, hit_fma):
     return gk.gi_trace_pallas(
         in_pack, looper, scene.tri_xform, scene.prim_attr,
         scene.mat_attr, scene.light_prob, scene.light_alias,
@@ -42,19 +44,22 @@ def trace(in_pack, looper, tile, groups):
         scene.sum_light_power_inv,
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), tile=tile,
-        groups=groups)
+        groups=groups, hit_fma=hit_fma,
+        has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric)
 
 
 variants = {}
 import os
-# GI_VARIANTS: "tile:g,g|tile:g,g|..." e.g. "1024:5|2048:3,2|4096:1,1,1,1,1"
-_var = os.environ.get("GI_VARIANTS", "1024:5|2048:3,2")
+# GI_VARIANTS: "tile:g,g[:fma|:dot]|..." e.g. "1024:5:fma|1024:5:dot"
+_var = os.environ.get("GI_VARIANTS", "1024:5:fma|1024:5:dot")
 for spec in _var.split("|"):
-    ts, gs = spec.split(":")
-    tile = int(ts)
-    groups = tuple(int(x) for x in gs.split(","))
+    parts = spec.split(":")
+    tile = int(parts[0])
+    groups = tuple(int(x) for x in parts[1].split(","))
+    fma = (parts[2] if len(parts) > 2 else "fma") == "fma"
     variants[spec] = (
-        lambda t, gr: lambda: trace(in_pack, looper, t, gr))(tile, groups)
+        lambda t, gr, fm: lambda: trace(in_pack, looper, t, gr, fm)
+    )(tile, groups, fma)
 
 outs = {}
 for name, fn in list(variants.items()):

@@ -46,8 +46,10 @@ def timeit(name, fn, n=6):
 
 
 width, height = 1920, 1080
-cfg = RenderConfig(width=width, height=height, tracer=TracerType.RESTIR_GI)
 scene, camkw = cornell_box()
+from restir_tpu.config import mat_flags
+cfg = RenderConfig(width=width, height=height, tracer=TracerType.RESTIR_GI,
+                   **mat_flags(scene))
 cam = make_camera(**camkw)
 
 state = renderer.init_state(cfg, cam, scene)

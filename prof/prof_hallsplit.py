@@ -46,9 +46,11 @@ def main():
     width, height = 1920, 1080
     r = width * height
     g = r // 128
+    from restir_tpu.config import mat_flags
     cfg = RenderConfig(width=width, height=height,
                        tracer=TracerType.RESTIR_DI,
-                       denoiser=DenoiserType.EAW)
+                       denoiser=DenoiserType.EAW, **mat_flags(scene))
+    print("mat flags:", cfg.scene_has_metallic, cfg.scene_has_dielectric)
     cam_vec = fk.pack_camera(cam, width, height)
     looper = jnp.uint32(0)
 
@@ -75,7 +77,8 @@ def main():
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
         scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
-        temporal=True, temporal_clamp=cfg.temporal_clamp)
+        temporal=True, temporal_clamp=cfg.temporal_clamp,
+        has_met=cfg.scene_has_metallic)
     print("R total:", round(timeit(reuse_fn), 1))
     rs = None
 
@@ -92,7 +95,8 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
     r1 = functools.partial(
         fk._ris_select_kernel, l_pad=l_pad, k=cfg.cdf_candidates,
-        single_sided=cfg.single_sided_lights, n_area=nl, has_env=False)
+        single_sided=cfg.single_sided_lights, n_area=nl, has_env=False,
+        has_met=cfg.scene_has_metallic)
     r1_fn = jax.jit(lambda: pl.pallas_call(
         r1, grid=(n_tiles,),
         in_specs=[

@@ -51,6 +51,8 @@ def main():
     else:
         scene, camkw = many_light_scene(n_lights=64, n_blocks=24)
         cam = make_camera(**camkw)
+    from restir_tpu.config import mat_flags
+    cfg = cfg.replace(**mat_flags(scene))
 
     print("tris:", scene.tri_xform.shape[1] // 3,
           "clusters:", scene.cluster_lo.shape[0],
@@ -85,7 +87,8 @@ def main():
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
         scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
-        temporal=True, temporal_clamp=cfg.temporal_clamp)
+        temporal=True, temporal_clamp=cfg.temporal_clamp,
+        has_met=cfg.scene_has_metallic)
     res["R_ms"] = timeit(lambda: fk.reuse_pallas(
         gb, prev, looper,
         scene.light_verts, scene.light_normal, scene.light_radiance,
@@ -93,7 +96,8 @@ def main():
         scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
         scene.sub_lo, scene.sub_hi,
         k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
-        temporal=True, temporal_clamp=cfg.temporal_clamp))
+        temporal=True, temporal_clamp=cfg.temporal_clamp,
+        has_met=cfg.scene_has_metallic))
 
     def run_s():
         acc = jnp.zeros((3, r // 128, 128))
@@ -101,7 +105,7 @@ def main():
             gb, pt, pt.reshape(fk.PT_CH, r), acc, looper, state.iteration,
             width=width, height=height, neighbors=cfg.spatial_neighbors,
             radius=cfg.spatial_radius, accumulate=cfg.accumulate,
-            reuse_spatial=True)
+            reuse_spatial=True, has_met=cfg.scene_has_metallic)
     res["S_ms"] = timeit(run_s)
 
     accum = run_s()

@@ -166,6 +166,10 @@ def main(argv=None) -> int:
         has_env_map=has_env,
         with_textures=with_textures,
     )
+    # material-set specialization: drop BSDF chains the scene never uses
+    from .config import mat_flags
+
+    cfg = cfg.replace(**mat_flags(scene))
 
     if args.serve is not None:
         from .viewer import serve

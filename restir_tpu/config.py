@@ -88,6 +88,14 @@ class RenderConfig:
     has_env_map: bool = False
     with_textures: bool = False
     single_sided_lights: bool = True  # SCENE_LIGHT_SINGLE_SIDED
+    # material-set flags (conservative defaults): when a scene contains
+    # no metallic / no dielectric materials, the lockstep kernels drop
+    # those whole BSDF chains at compile time — the TPU answer to the
+    # reference's per-thread divergence (material.h:218-256), where idle
+    # lanes still pay the union of all branches. Derive with
+    # config.mat_flags(scene) (app.py does this automatically).
+    scene_has_metallic: bool = True
+    scene_has_dielectric: bool = True
 
     # sampler for the path-tracer draws: "pcg4d" (counter hash, default)
     # or "sobol" (Owen-scrambled, SAMPLER_USE_SOBOL equivalent). The
@@ -116,3 +124,17 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+
+def mat_flags(scene) -> dict:
+    """Static material-set flags for a concrete SceneData (host-side,
+    BEFORE jit): which BSDF chains the lockstep kernels must compile.
+    Usage: cfg = cfg.replace(**mat_flags(scene))."""
+    import numpy as np
+
+    mt = np.asarray(scene.mat_type)
+    # codes: scene_data.METALLIC_WORKFLOW = 1, DIELECTRIC = 2
+    return {
+        "scene_has_metallic": bool((mt == 1).any()),
+        "scene_has_dielectric": bool((mt == 2).any()),
+    }

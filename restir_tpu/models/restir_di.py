@@ -182,7 +182,7 @@ def _ris_cdf(scene, pos, dmat, norm, wo, shade, prim_id, cfg: RenderConfig, loop
             scene.light_area, scene.light_center, scene.light_radius,
             scene.tri_xform,
             k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
-            ctr_base=_CTR_RIS,
+            ctr_base=_CTR_RIS, has_met=cfg.scene_has_metallic,
         )
         return rsv.Reservoir(
             sample=rsv.DirectSample(li=li, wi=wi, dist=dist),

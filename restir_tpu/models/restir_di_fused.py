@@ -156,6 +156,7 @@ def step_fused(
         temporal_clamp=cfg.temporal_clamp,
         has_env=has_env, env_tile_rad=scene.env_tile_rad,
         env_tile_uv=scene.env_tile_uv, env_tile_sa=scene.env_tile_sa,
+        has_met=cfg.scene_has_metallic,
         interpret=interpret,
     )
 
@@ -165,6 +166,7 @@ def step_fused(
         neighbors=cfg.spatial_neighbors, radius=cfg.spatial_radius,
         accumulate=cfg.accumulate,
         reuse_spatial=bool(cfg.reuse & ReuseMode.SPATIAL),
+        has_met=cfg.scene_has_metallic,
         interpret=interpret,
     )
 
@@ -240,6 +242,7 @@ def _gi_stage(scene, gb, gi_q, cfg: RenderConfig, looper,
         scene.sum_light_power_inv,
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), pix0=0,
+        has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric,
         interpret=interpret,
     )
     gq = jnp.concatenate([
@@ -253,7 +256,8 @@ def _gi_stage(scene, gb, gi_q, cfg: RenderConfig, looper,
     return gk.gi_resolve_pallas(
         go, in_pack, gq, gi_q.reshape(gk.Q_CH, r), looper,
         temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
-        temporal_clamp=cfg.temporal_clamp, interpret=interpret,
+        temporal_clamp=cfg.temporal_clamp,
+        has_met=cfg.scene_has_metallic, interpret=interpret,
     )
 
 

@@ -116,6 +116,7 @@ def trace_gi_sample_fused(
         scene.sum_light_power_inv,
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), pix0=pix0,
+        has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric,
         interpret=interpret,
     )
 
@@ -317,6 +318,7 @@ def restir_indirect_fused(
         scene.sum_light_power_inv,
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), pix0=0,
+        has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric,
         interpret=interpret,
     )
     shade = it.valid & (gb.prim_id != LIGHT_ID)
@@ -329,7 +331,8 @@ def restir_indirect_fused(
     ind, q = gk.gi_resolve_pallas(
         go, in_pack, gq, q_prev, looper,
         temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
-        temporal_clamp=cfg.temporal_clamp, interpret=interpret,
+        temporal_clamp=cfg.temporal_clamp,
+        has_met=cfg.scene_has_metallic, interpret=interpret,
     )
     return ind.reshape(3, r).T, q.reshape(gk.Q_CH, r)
 

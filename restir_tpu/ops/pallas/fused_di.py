@@ -1422,7 +1422,7 @@ def make_xy_grid(width: int, height: int):
 def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
                        lumaux_ref, tri_lo_ref, light_ref, looper_ref,
                        out_ref, *, l_pad, k, single_sided, n_area,
-                       has_env):
+                       has_env, has_met=True):
     """Lane-batched RIS candidate stage.
 
     Round-2 profiling (BASELINE.md) showed the K-iteration candidate
@@ -1582,6 +1582,7 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     f_lum = _eval_bsdf_lum(
         wide(mtype), wide(metallic), wide(roughness),
         nx_w, ny_w, nz_w, wox_w, woy_w, woz_w, wixw, wiyw, wizw,
+        has_met=has_met,
     )
     li_lum = 0.2126 * li_xw + 0.7152 * li_yw + 0.0722 * li_zw
     cos_s = jnp.maximum(_dot3(nx_w, ny_w, nz_w, wixw, wiyw, wizw), 0.0)
@@ -2262,7 +2263,7 @@ def _sub_block_lists(o3r, d3r, tmax, live, tile, sub_lo, sub_hi,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "single_sided", "nb", "window", "temporal", "temporal_clamp",
-    "has_env", "interpret"))
+    "has_env", "has_met", "interpret"))
 def reuse_pallas(
     gb_pack, prev_pack, looper,
     light_verts, light_normal, light_radiance, light_area, light_center,
@@ -2272,7 +2273,7 @@ def reuse_pallas(
     window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
     has_env: bool = False, env_tile_rad=None, env_tile_uv=None,
     env_tile_sa=None,
-    pix0=0, prev_base=0,
+    pix0=0, prev_base=0, has_met: bool = True,
     interpret: bool = False,
 ):
     """RIS + winner visibility + temporal merge, as two kernels with an
@@ -2329,7 +2330,7 @@ def reuse_pallas(
     # ---- kernel R1: RIS candidate selection
     r1 = functools.partial(
         _ris_select_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
-        n_area=nl, has_env=has_env,
+        n_area=nl, has_env=has_env, has_met=has_met,
     )
     rs = pl.pallas_call(
         r1,
@@ -2640,7 +2641,8 @@ def svgf_temporal_pallas(gb_pack, color, prev_svgf, window: int = 2048,
 
 def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
                     sc_ref, acc_out_ref, nbr_ref, sem, *, width, height,
-                    neighbors, radius, accumulate, reuse_spatial):
+                    neighbors, radius, accumulate, reuse_spatial,
+                    has_met=True):
     cg = gb_ref.shape[1]
     b = cg * 128
     tile_id = pl.program_id(0)
@@ -2830,7 +2832,7 @@ def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
     snx, sny, snz = g_nx * sgn, g_ny * sgn, g_nz * sgn
     f_lum = _eval_bsdf_lum(
         mtype, metallic, roughness, snx, sny, snz, wox, woy, woz,
-        r_wi_x, r_wi_y, r_wi_z,
+        r_wi_x, r_wi_y, r_wi_z, has_met=has_met,
     )
     li_lum = 0.2126 * r_li_x + 0.7152 * r_li_y + 0.0722 * r_li_z
     inv_bad = jnp.isnan(r_weight) | jnp.isinf(r_weight) | (r_weight < 0.0)
@@ -2874,12 +2876,12 @@ def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "neighbors", "radius", "accumulate", "reuse_spatial",
-    "interpret"), donate_argnums=(3,))
+    "has_met", "interpret"), donate_argnums=(3,))
 def spatial_shade_pallas(
     gb_pack, pt_pack, pt_flat, accum, looper, iteration,
     width: int, height: int, neighbors: int = 5, radius: float = 5.0,
     accumulate: bool = True, reuse_spatial: bool = True,
-    pix0=0, halo: int = 0, r_total=None,
+    pix0=0, halo: int = 0, r_total=None, has_met: bool = True,
     interpret: bool = False,
 ):
     """Spatial merges + shading + running-mean accumulation.
@@ -2934,6 +2936,7 @@ def spatial_shade_pallas(
     kernel = functools.partial(
         _spatial_kernel, width=width, height=height, neighbors=neighbors,
         radius=radius, accumulate=accumulate, reuse_spatial=reuse_spatial,
+        has_met=has_met,
     )
     tg = _TILE // 128
     sc = jnp.stack([jnp.asarray(looper, jnp.uint32),

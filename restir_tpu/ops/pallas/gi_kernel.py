@@ -241,25 +241,30 @@ def _metallic_pdf(metallic, alpha, nx, ny, nz, wox, woy, woz,
 
 
 def _eval_bsdf_rgb(mtype, base, metallic, roughness, nx, ny, nz,
-                   wox, woy, woz, wix, wiy, wiz):
-    """f(wo, wi) RGB — ops/bsdf.eval_bsdf in 1-D (delta lobes -> 0)."""
-    alpha = roughness * roughness
-    met = _metallic_eval(base, metallic, alpha, nx, ny, nz,
-                         wox, woy, woz, wix, wiy, wiz)
+                   wox, woy, woz, wix, wiy, wiz, has_met=True):
+    """f(wo, wi) RGB — ops/bsdf.eval_bsdf in 1-D (delta lobes -> 0).
+    has_met=False (static) drops the GGX chain entirely."""
     out = []
+    if has_met:
+        alpha = roughness * roughness
+        met = _metallic_eval(base, metallic, alpha, nx, ny, nz,
+                             wox, woy, woz, wix, wiy, wiz)
     for k in range(3):
         lam = base[k] * _INV_PI
         out.append(jnp.where(
             mtype == _LAMBERTIAN, lam,
-            jnp.where(mtype == _METALLIC, met[k], 0.0),
+            jnp.where(mtype == _METALLIC, met[k], 0.0) if has_met
+            else 0.0,
         ))
     return out
 
 
 def _pdf_bsdf(mtype, metallic, roughness, nx, ny, nz,
-              wox, woy, woz, wix, wiy, wiz):
-    alpha = roughness * roughness
+              wox, woy, woz, wix, wiy, wiz, has_met=True):
     lam = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0) * _INV_PI
+    if not has_met:
+        return jnp.where(mtype == _LAMBERTIAN, lam, 0.0)
+    alpha = roughness * roughness
     met = _metallic_pdf(metallic, alpha, nx, ny, nz,
                         wox, woy, woz, wix, wiy, wiz)
     return jnp.where(
@@ -312,7 +317,8 @@ def _sample_vndf(nx, ny, nz, wox, woy, woz, alpha, rx, ry):
 def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
                      attr_ref, mat_ref, light_ref, scal_ref, out_ref,
                      *, n_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
-                     single_sided, hit_fma=True):
+                     single_sided, hit_fma=True, has_met=True,
+                     has_die=True):
     """Bounces d_lo..d_hi of the fused GI path trace over the [ST_CH]
     state pack (state advanced in place; the wrapper chains one kernel
     per bounce so compile size stays O(one bounce) while the tile width
@@ -556,10 +562,11 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
             f_rgb = _eval_bsdf_rgb(
                 mtype, [basr, basg, basb], metallic, roughness,
                 nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
+                has_met=has_met,
             )
             bpdf = _pdf_bsdf(
                 mtype, metallic, roughness, nx, ny, nz,
-                wox, woy, woz, wix, wiy, wiz,
+                wox, woy, woz, wix, wiy, wiz, has_met=has_met,
             )
             mis = lpdf * lpdf / jnp.maximum(
                 lpdf * lpdf + bpdf * bpdf, 1e-37
@@ -580,83 +587,122 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         )
         b1, b2, b3 = _unit(u1), _unit(u2), _unit(u3)
         lam_x, lam_y, lam_z = _cosine_hemisphere(nx, ny, nz, b1, b2)
-        alpha = roughness * roughness
-        hx, hy, hz = _sample_vndf(
-            nx, ny, nz, wox, woy, woz, alpha, b1, b2
-        )
-        hdoto = _dot3(hx, hy, hz, wox, woy, woz)
-        rfx, rfy, rfz = _norm3(
-            -wox + 2.0 * hdoto * hx,
-            -woy + 2.0 * hdoto * hy,
-            -woz + 2.0 * hdoto * hz,
-        )
-        pick_diff = b3 > 1.0 / (2.0 - metallic)
-        met_x = jnp.where(pick_diff, lam_x, rfx)
-        met_y = jnp.where(pick_diff, lam_y, rfy)
-        met_z = jnp.where(pick_diff, lam_z, rfz)
-        met_invalid = _dot3(nx, ny, nz, met_x, met_y, met_z) < 0.0
+        # material-set specialization (cfg.scene_has_metallic /
+        # scene_has_dielectric): lockstep lanes pay the UNION of all
+        # compiled BSDF chains, so scenes without a material type drop
+        # its whole sampling/eval chain at compile time (the TPU answer
+        # to the reference's per-thread material switch). The
+        # has_met & has_die branch is bit-identical to the original
+        # unconditional code; reduced branches only change don't-care
+        # lanes (unknown types, which `invalid` kills either way).
+        if has_met:
+            alpha = roughness * roughness
+            hx, hy, hz = _sample_vndf(
+                nx, ny, nz, wox, woy, woz, alpha, b1, b2
+            )
+            hdoto = _dot3(hx, hy, hz, wox, woy, woz)
+            rfx, rfy, rfz = _norm3(
+                -wox + 2.0 * hdoto * hx,
+                -woy + 2.0 * hdoto * hy,
+                -woz + 2.0 * hdoto * hz,
+            )
+            pick_diff = b3 > 1.0 / (2.0 - metallic)
+            met_x = jnp.where(pick_diff, lam_x, rfx)
+            met_y = jnp.where(pick_diff, lam_y, rfy)
+            met_z = jnp.where(pick_diff, lam_z, rfz)
+            met_invalid = _dot3(nx, ny, nz, met_x, met_y, met_z) < 0.0
 
-        cos_wo = _dot3(nx, ny, nz, wox, woy, woz)
-        pdf_refl = _fresnel_dielectric(cos_wo, ior)
-        rlx, rly, rlz = _norm3(
-            -wox + 2.0 * cos_wo * nx,
-            -woy + 2.0 * cos_wo * ny,
-            -woz + 2.0 * cos_wo * nz,
-        )
-        # refract (utils/math.refract): eta flip on the incident side
-        eta_r = jnp.where(cos_wo < 0.0, 1.0 / ior, ior)
-        sin2_in = jnp.maximum(0.0, 1.0 - cos_wo * cos_wo)
-        sin2_tr = sin2_in / (eta_r * eta_r)
-        refr_ok = sin2_tr < 1.0
-        cos_tr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tr))
-        cos_tr = jnp.where(cos_wo < 0.0, -cos_tr, cos_tr)
-        tscale = cos_wo / eta_r - cos_tr
-        einv = 1.0 / eta_r
-        rtx, rty, rtz = _norm3(
-            -wox * einv + nx * tscale,
-            -woy * einv + ny * tscale,
-            -woz * einv + nz * tscale,
-        )
-        choose_refl = b3 < pdf_refl
-        die_x = jnp.where(choose_refl, rlx, rtx)
-        die_y = jnp.where(choose_refl, rly, rty)
-        die_z = jnp.where(choose_refl, rlz, rtz)
-        die_fs = jnp.where(choose_refl, 1.0, 1.0 / (eta_r * eta_r))
-        die_invalid = (~choose_refl) & (~refr_ok)
+        if has_die:
+            cos_wo = _dot3(nx, ny, nz, wox, woy, woz)
+            pdf_refl = _fresnel_dielectric(cos_wo, ior)
+            rlx, rly, rlz = _norm3(
+                -wox + 2.0 * cos_wo * nx,
+                -woy + 2.0 * cos_wo * ny,
+                -woz + 2.0 * cos_wo * nz,
+            )
+            # refract (utils/math.refract): eta flip on the incident side
+            eta_r = jnp.where(cos_wo < 0.0, 1.0 / ior, ior)
+            sin2_in = jnp.maximum(0.0, 1.0 - cos_wo * cos_wo)
+            sin2_tr = sin2_in / (eta_r * eta_r)
+            refr_ok = sin2_tr < 1.0
+            cos_tr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tr))
+            cos_tr = jnp.where(cos_wo < 0.0, -cos_tr, cos_tr)
+            tscale = cos_wo / eta_r - cos_tr
+            einv = 1.0 / eta_r
+            rtx, rty, rtz = _norm3(
+                -wox * einv + nx * tscale,
+                -woy * einv + ny * tscale,
+                -woz * einv + nz * tscale,
+            )
+            choose_refl = b3 < pdf_refl
+            die_x = jnp.where(choose_refl, rlx, rtx)
+            die_y = jnp.where(choose_refl, rly, rty)
+            die_z = jnp.where(choose_refl, rlz, rtz)
+            die_fs = jnp.where(choose_refl, 1.0, 1.0 / (eta_r * eta_r))
+            die_invalid = (~choose_refl) & (~refr_ok)
 
         is_lam = mtype == _LAMBERTIAN
         is_met = mtype == _METALLIC
         is_die = mtype == _DIELECTRIC
-        wix = jnp.where(is_lam, lam_x, jnp.where(is_met, met_x, die_x))
-        wiy = jnp.where(is_lam, lam_y, jnp.where(is_met, met_y, die_y))
-        wiz = jnp.where(is_lam, lam_z, jnp.where(is_met, met_z, die_z))
+        if has_met and has_die:
+            wix = jnp.where(is_lam, lam_x, jnp.where(is_met, met_x, die_x))
+            wiy = jnp.where(is_lam, lam_y, jnp.where(is_met, met_y, die_y))
+            wiz = jnp.where(is_lam, lam_z, jnp.where(is_met, met_z, die_z))
+        elif has_met:
+            wix = jnp.where(is_met, met_x, lam_x)
+            wiy = jnp.where(is_met, met_y, lam_y)
+            wiz = jnp.where(is_met, met_z, lam_z)
+        elif has_die:
+            wix = jnp.where(is_die, die_x, lam_x)
+            wiy = jnp.where(is_die, die_y, lam_y)
+            wiz = jnp.where(is_die, die_z, lam_z)
+        else:
+            wix, wiy, wiz = lam_x, lam_y, lam_z
 
         lam_pdf = jnp.maximum(
             _dot3(nx, ny, nz, lam_x, lam_y, lam_z), 0.0
         ) * _INV_PI
-        met_f = _metallic_eval(
-            [basr, basg, basb], metallic, alpha, nx, ny, nz,
-            wox, woy, woz, met_x, met_y, met_z,
-        )
-        met_pdf = _metallic_pdf(
-            metallic, alpha, nx, ny, nz, wox, woy, woz,
-            met_x, met_y, met_z,
-        )
+        if has_met:
+            met_f = _metallic_eval(
+                [basr, basg, basb], metallic, alpha, nx, ny, nz,
+                wox, woy, woz, met_x, met_y, met_z,
+            )
+            met_pdf = _metallic_pdf(
+                metallic, alpha, nx, ny, nz, wox, woy, woz,
+                met_x, met_y, met_z,
+            )
         f_s = []
         for k, bc in enumerate((basr, basg, basb)):
             lam_f = bc * _INV_PI
-            f_s.append(jnp.where(
-                is_lam, lam_f,
-                jnp.where(is_met, met_f[k], bc * die_fs),
-            ))
-        pdf_s = jnp.where(
-            is_lam, lam_pdf, jnp.where(is_met, met_pdf, 1.0)
-        )
+            if has_met and has_die:
+                f_s.append(jnp.where(
+                    is_lam, lam_f,
+                    jnp.where(is_met, met_f[k], bc * die_fs),
+                ))
+            elif has_met:
+                f_s.append(jnp.where(is_met, met_f[k], lam_f))
+            elif has_die:
+                f_s.append(jnp.where(is_die, bc * die_fs, lam_f))
+            else:
+                f_s.append(lam_f)
+        if has_met and has_die:
+            pdf_s = jnp.where(
+                is_lam, lam_pdf, jnp.where(is_met, met_pdf, 1.0)
+            )
+        elif has_met:
+            pdf_s = jnp.where(is_met, met_pdf, lam_pdf)
+        elif has_die:
+            pdf_s = jnp.where(is_die, 1.0, lam_pdf)
+        else:
+            pdf_s = lam_pdf
         # pure boolean algebra (a scalar-bool jnp.where lowers to an
         # i8 -> i1 trunci Mosaic cannot compile): lambert never invalid,
         # unknown types always invalid
-        invalid = ((is_met & met_invalid) | (is_die & die_invalid)
-                   | ~(is_lam | is_met | is_die))
+        invalid = ~(is_lam | is_met | is_die)
+        if has_met:
+            invalid = invalid | (is_met & met_invalid)
+        if has_die:
+            invalid = invalid | (is_die & die_invalid)
         delta_sample = is_die & ~invalid  # SPECULAR flag lobes
 
         ok = alive & (~invalid) & (pdf_s >= 1e-8)
@@ -786,13 +832,14 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "depth", "single_sided", "n_lights", "tile", "groups", "hit_fma",
-    "interpret"))
+    "has_met", "has_die", "interpret"))
 def gi_trace_pallas(
     in_pack, looper, tri_xform, prim_attr, mat_attr,
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
     pix0=0, tile: int = 0, groups=None, hit_fma: bool = True,
+    has_met: bool = True, has_die: bool = True,
     interpret: bool = False,
 ):
     """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
@@ -889,6 +936,7 @@ def gi_trace_pallas(
             _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
             n_lights=n_lights, d_lo=d0, d_hi=d1,
             single_sided=single_sided, hit_fma=hit_fma,
+            has_met=has_met, has_die=has_die,
         )
         d0 = d1 + 1
         st = pl.pallas_call(
@@ -939,7 +987,8 @@ def gi_trace_pallas(
 
 def _gi_resolve_kernel(go_ref, in_ref, gq_ref, prev_ref,
                        looper_ref, q_ref, ind_ref, win_ref, sem,
-                       *, window, temporal, temporal_clamp):
+                       *, window, temporal, temporal_clamp,
+                       has_met=True):
     cg = go_ref.shape[1]
     b = cg * 128
     tile_id = pl.program_id(0)
@@ -1101,6 +1150,7 @@ def _gi_resolve_kernel(go_ref, in_ref, gq_ref, prev_ref,
     f = _eval_bsdf_lum(
         inn(IN_MTYPE), inn(IN_METAL), inn(IN_ROUGH),
         s_nvx, s_nvy, s_nvz, wox, woy, woz, wix, wiy, wiz,
+        has_met=has_met,
     )
     cosw = jnp.where(
         prim_delta, 1.0,
@@ -1157,11 +1207,11 @@ def _gi_resolve_kernel(go_ref, in_ref, gq_ref, prev_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "window", "temporal", "temporal_clamp", "interpret"))
+    "window", "temporal", "temporal_clamp", "has_met", "interpret"))
 def gi_resolve_pallas(
     go_pack, in_pack, gq_pack, prev_q, looper,
     window: int = 2048, temporal: bool = True, temporal_clamp: int = 20,
-    pix0=0, interpret: bool = False,
+    pix0=0, has_met: bool = True, interpret: bool = False,
 ):
     """RIS update + temporal merge + clamp + shade over the trace-output
     pack. go_pack/in_pack/gq_pack: [*, R/128, 128]; prev_q: [Q_CH,
@@ -1176,7 +1226,7 @@ def gi_resolve_pallas(
 
     kern = functools.partial(
         _gi_resolve_kernel, window=window, temporal=temporal,
-        temporal_clamp=temporal_clamp,
+        temporal_clamp=temporal_clamp, has_met=has_met,
     )
     q, ind = pl.pallas_call(
         kern,

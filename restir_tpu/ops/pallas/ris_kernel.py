@@ -85,9 +85,13 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def _eval_bsdf_lum(mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
-                   wix, wiy, wiz):
+                   wix, wiy, wiz, has_met=True):
     """Luminance of the demodulated BSDF (baseColor = 1): lambert + GGX
-    metallic workflow, dielectric -> 0 (delta). Mirrors ops/bsdf."""
+    metallic workflow, dielectric -> 0 (delta). Mirrors ops/bsdf.
+    has_met=False (static, cfg.scene_has_metallic) drops the whole GGX
+    chain (~33 ops) for scenes with no metallic materials."""
+    if not has_met:
+        return jnp.where(mtype == _LAMBERTIAN, _INV_PI, 0.0)
     cos_o = _dot3(nx, ny, nz, wox, woy, woz)
     cos_i = _dot3(nx, ny, nz, wix, wiy, wiz)
 
@@ -134,7 +138,7 @@ def _eval_bsdf_lum(mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
 def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
                 tri_lo_ref, light_ref, xu_ref, xv_ref, xw_ref, looper_ref,
                 out_ref, *, l_pad: int, k: int, single_sided: bool,
-                ctr_base: int, n_pad: int, nb: int):
+                ctr_base: int, n_pad: int, nb: int, has_met: bool = True):
     cg = in_ref.shape[1]  # tile/128
     b = cg * 128
 
@@ -236,7 +240,7 @@ def _ris_kernel(in_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumarea_ref,
 
         f_lum = _eval_bsdf_lum(
             mtype, metallic, roughness, nx, ny, nz, wox, woy, woz,
-            wix, wiy, wiz,
+            wix, wiy, wiz, has_met=has_met,
         )
         li_lum = 0.2126 * li_x + 0.7152 * li_y + 0.0722 * li_z
         cos_s = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0)
@@ -454,14 +458,16 @@ def build_light_tables(light_verts, light_normal, light_radiance, light_area,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "single_sided", "ctr_base", "tile", "nb", "interpret")
+    jax.jit, static_argnames=("k", "single_sided", "ctr_base", "tile", "nb",
+                              "has_met", "interpret")
 )
 def ris_cdf_pallas(
     pos, norm, wo, mtype, metallic, roughness, shade, prim_id, looper,
     light_verts, light_normal, light_radiance, light_area, light_center,
     light_radius, tri_xform,
     k: int = 4, single_sided: bool = True, ctr_base: int = 8,
-    tile: int = 1024, nb: int = 128, interpret: bool = False,
+    tile: int = 1024, nb: int = 128, has_met: bool = True,
+    interpret: bool = False,
 ):
     """Fused candidate stage + winner visibility. Returns a reservoir
     SoA tuple (li [R,3], wi [R,3], dist [R], weight [R], m [R] int32)
@@ -504,7 +510,7 @@ def ris_cdf_pallas(
 
     kernel = functools.partial(
         _ris_kernel, l_pad=l_pad, k=k, single_sided=single_sided,
-        ctr_base=ctr_base, n_pad=n_pad, nb=nb,
+        ctr_base=ctr_base, n_pad=n_pad, nb=nb, has_met=has_met,
     )
     tg = tile // 128
     out = pl.pallas_call(

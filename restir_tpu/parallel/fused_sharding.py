@@ -116,6 +116,7 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
             temporal_clamp=cfg.temporal_clamp,
             has_env=cfg.has_env_map, env_tile_rad=scene.env_tile_rad,
             env_tile_uv=scene.env_tile_uv, env_tile_sa=scene.env_tile_sa,
+            has_met=cfg.scene_has_metallic,
             pix0=pix0, prev_base=pix0 - window, interpret=interpret,
         )
 
@@ -125,6 +126,7 @@ def make_fused_sharded_step(cfg: RenderConfig, mesh: Mesh,
             width=w_img, height=h_img, neighbors=cfg.spatial_neighbors,
             radius=cfg.spatial_radius, accumulate=cfg.accumulate,
             reuse_spatial=bool(cfg.reuse & ReuseMode.SPATIAL),
+            has_met=cfg.scene_has_metallic,
             pix0=pix0, halo=halo_s, r_total=r, interpret=interpret,
         )
 

@@ -317,7 +317,7 @@ def _sample_vndf(nx, ny, nz, wox, woy, woz, alpha, rx, ry):
 def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
                      attr_ref, mat_ref, light_ref, scal_ref, out_ref,
                      *, n_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
-                     single_sided, hit_fma=True, has_met=True,
+                     single_sided, hit_fma=False, has_met=True,
                      has_die=True):
     """Bounces d_lo..d_hi of the fused GI path trace over the [ST_CH]
     state pack (state advanced in place; the wrapper chains one kernel
@@ -355,7 +355,12 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
     if hit_fma:
         # VPU-FMA plane projections over the TRI-MAJOR table (the DI
         # kernels' hit-test form, fused_di._vis_sorted_kernel): exact
-        # f32, no bf16 splits, no K=4-padded MXU passes
+        # f32, no bf16 splits, no K=4-padded MXU passes. MEASURED SLOWER
+        # here than the 3-pass dots (287 vs 246 ms at 1080p depth 5,
+        # prof/prof_gi_tile.py): the GI hit tests project against the
+        # whole resident [n_pad, hb] slab, where 6 MXU dots beat ~21
+        # n_pad-row VPU broadcast chains — unlike the DI vis kernel's
+        # per-flush [256, B] form. Kept for A/B; default OFF.
         def _proj6(o3sl, d3sl, hb_):
             oxr = o3sl[0].reshape(1, hb_)
             oyr = o3sl[1].reshape(1, hb_)
@@ -838,7 +843,7 @@ def gi_trace_pallas(
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
-    pix0=0, tile: int = 0, groups=None, hit_fma: bool = True,
+    pix0=0, tile: int = 0, groups=None, hit_fma: bool = False,
     has_met: bool = True, has_die: bool = True,
     interpret: bool = False,
 ):

@@ -318,7 +318,11 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
                      attr_ref, mat_ref, light_ref, scal_ref, out_ref,
                      *, n_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
                      single_sided, hit_fma=False, has_met=True,
-                     has_die=True):
+                     has_die=True, dbg=()):
+    # dbg: prof-only decomposition knobs (prof/prof_gi_depth.py) —
+    # "occl" skips the NEE shadow traversal, "nee" the whole NEE stage,
+    # "trace" the closest-hit traversal (constant fake hits). Results
+    # are WRONG with any knob on; never set outside prof scripts.
     """Bounces d_lo..d_hi of the fused GI path trace over the [ST_CH]
     state pack (state advanced in place; the wrapper chains one kernel
     per bounce so compile size stays O(one bounce) while the tile width
@@ -411,6 +415,10 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         """Closest hit over ALL resident triangles (brute, mirrors
         ops/intersect_bf._chunk_hits predicates), in hb-lane chunks.
         Returns (hit, dist, u, v, prim)."""
+        if "trace" in dbg:
+            k = jnp.ones_like(ox_)
+            return (active, k, k * 0.25, k * 0.25,
+                    jnp.zeros_like(ox_).astype(jnp.int32))
         outs = ([], [], [], [])
         for c in range(0, b, hb):
             sl = slice(c, c + hb)
@@ -454,6 +462,8 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         o2y = oy_ + ddy * _RAY_OFFSET
         o2z = oz_ + ddz * _RAY_OFFSET
         limit = dist - _OCCL_EPS * 2.0
+        if "occl" in dbg:
+            return active & (limit < 0.0)
         outs = []
         for c in range(0, b, hb):
             sl = slice(c, c + hb)
@@ -513,7 +523,7 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
             nvx, nvy, nvz = nx, ny, nz
 
         ctr = _CTR_PATH + (d_i - 1) * 2
-        if not first:
+        if not first and "nee" not in dbg:
             # ---- NEE (restir.cu:290-300): alias light sample + shadow
             u1, u2, u3, u4 = _pcg4d(
                 upix, jnp.full((b,), looper, jnp.uint32),
@@ -837,14 +847,14 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "depth", "single_sided", "n_lights", "tile", "groups", "hit_fma",
-    "has_met", "has_die", "interpret"))
+    "has_met", "has_die", "dbg", "interpret"))
 def gi_trace_pallas(
     in_pack, looper, tri_xform, prim_attr, mat_attr,
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
     pix0=0, tile: int = 0, groups=None, hit_fma: bool = False,
-    has_met: bool = True, has_die: bool = True,
+    has_met: bool = True, has_die: bool = True, dbg=(),
     interpret: bool = False,
 ):
     """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
@@ -941,7 +951,7 @@ def gi_trace_pallas(
             _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
             n_lights=n_lights, d_lo=d0, d_hi=d1,
             single_sided=single_sided, hit_fma=hit_fma,
-            has_met=has_met, has_die=has_die,
+            has_met=has_met, has_die=has_die, dbg=dbg,
         )
         d0 = d1 + 1
         st = pl.pallas_call(

@@ -44,7 +44,8 @@ def trace(in_pack, looper, depth, dbg):
         scene.sum_light_power_inv,
         depth=depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), dbg=dbg,
-        has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric)
+        has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric,
+        has_proc=cfg.scene_has_procedural)
 
 
 # spec: "name=depth:dbg,dbg" via GI_DBG env, default decomposition set

@@ -96,6 +96,10 @@ class RenderConfig:
     # config.mat_flags(scene) (app.py does this automatically).
     scene_has_metallic: bool = True
     scene_has_dielectric: bool = True
+    # any material with the procedural base-color marker (tex id < -1.5):
+    # when False the kernels drop the sine-grid chain (a full pcg4d +
+    # 2 sins PER CALL — ~5 calls/frame in the GI trace kernel)
+    scene_has_procedural: bool = True
 
     # sampler for the path-tracer draws: "pcg4d" (counter hash, default)
     # or "sobol" (Owen-scrambled, SAMPLER_USE_SOBOL equivalent). The
@@ -137,4 +141,7 @@ def mat_flags(scene) -> dict:
     return {
         "scene_has_metallic": bool((mt == 1).any()),
         "scene_has_dielectric": bool((mt == 2).any()),
+        # mat_attr col 7: texture id; procedural marker is -2
+        "scene_has_procedural": bool(
+            (np.asarray(scene.mat_attr[:, 7]) < -1.5).any()),
     }

@@ -243,6 +243,7 @@ def _gi_stage(scene, gb, gi_q, cfg: RenderConfig, looper,
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), pix0=0,
         has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric,
+        has_proc=cfg.scene_has_procedural,
         interpret=interpret,
     )
     gq = jnp.concatenate([

@@ -117,6 +117,7 @@ def trace_gi_sample_fused(
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), pix0=pix0,
         has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric,
+        has_proc=cfg.scene_has_procedural,
         interpret=interpret,
     )
 
@@ -319,6 +320,7 @@ def restir_indirect_fused(
         depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
         n_lights=int(scene.light_prob.shape[0]), pix0=0,
         has_met=cfg.scene_has_metallic, has_die=cfg.scene_has_dielectric,
+        has_proc=cfg.scene_has_procedural,
         interpret=interpret,
     )
     shade = it.valid & (gb.prim_id != LIGHT_ID)

@@ -137,7 +137,13 @@ GQ_CH = 10
 
 _NULL_PRIM = -1.0  # intersect.NULL_PRIMITIVE
 
-# light-table rows (built by the wrapper)
+# light-table rows (built by the wrapper).
+# MEASURED DEAD END (prof/prof_gi_depth.py, round 4): precomputing the
+# light GEOMETRY (v0/e01/e02/normal) into extra table rows and reading
+# it via row extracts of the [24, B] where-blended fetch made the
+# depth-5 trace 245 -> 381 ms (compile 52 -> 118 s) — Mosaic handles
+# row extracts of the blended table FAR worse than the one-hot attr
+# dot it replaced. Keep the 8-row table + per-bounce attr fetch.
 LT_PROB = 0
 LT_ALIAS = 1
 LT_PRIM = 2
@@ -318,7 +324,7 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
                      attr_ref, mat_ref, light_ref, scal_ref, out_ref,
                      *, n_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
                      single_sided, hit_fma=False, has_met=True,
-                     has_die=True, dbg=()):
+                     has_die=True, has_proc=True, dbg=()):
     # dbg: prof-only decomposition knobs (prof/prof_gi_depth.py) —
     # "occl" skips the NEE shadow traversal, "nee" the whole NEE stage,
     # "trace" the closest-hit traversal (constant fake hits). Results
@@ -406,7 +412,8 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
             return oou, oov, oow, ddu, ddv, ddw
     row_np = jax.lax.broadcasted_iota(jnp.int32, (n_pad, hb), 0)
     row_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, b), 0)
-    row_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, hb), 0)
+    row_l = jax.lax.broadcasted_iota(
+        jnp.int32, (l_pad, b if l_pad <= 128 else hb), 0)
 
     def _cat(parts, axis=0):
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis)
@@ -414,11 +421,15 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
     def trace(ox_, oy_, oz_, ddx, ddy, ddz, active):
         """Closest hit over ALL resident triangles (brute, mirrors
         ops/intersect_bf._chunk_hits predicates), in hb-lane chunks.
-        Returns (hit, dist, u, v, prim)."""
+        Returns (hit, dist, u, v, winner one-hot [n_pad, B] f32). The
+        one-hot (the argmin row; row of the _BIG sentinel for misses —
+        every consumer is masked by `hit`) replaces the per-bounce
+        attr-fetch one-hot rebuild."""
         if "trace" in dbg:
             k = jnp.ones_like(ox_)
-            return (active, k, k * 0.25, k * 0.25,
-                    jnp.zeros_like(ox_).astype(jnp.int32))
+            oh0 = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
+                   == 0).astype(jnp.float32)
+            return (active, k, k * 0.25, k * 0.25, oh0)
         outs = ([], [], [], [])
         for c in range(0, b, hb):
             sl = slice(c, c + hb)
@@ -437,16 +448,17 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
             j = jnp.argmin(dist2, axis=0)  # [hb]
             oh_best = row_np == j[None, :]
             outs[0].append(jnp.min(dist2, axis=0))
+            # where (not *): 0 * inf = NaN if a degenerate plane row
+            # overflows u/v on non-winning rows
             outs[1].append(jnp.sum(jnp.where(oh_best, u, 0.0), axis=0))
             outs[2].append(jnp.sum(jnp.where(oh_best, v, 0.0), axis=0))
-            # i1 concats trip Mosaic layout inference — carry ids as i32
-            outs[3].append(j)
+            outs[3].append(oh_best.astype(jnp.float32))
         d_best = _cat(outs[0])
         u_best = _cat(outs[1])
         v_best = _cat(outs[2])
-        j_all = _cat(outs[3])
+        oh_all = _cat(outs[3], axis=1)
         got = active & (d_best < _BIG)
-        return got, d_best, u_best, v_best, jnp.where(got, j_all, -1)
+        return got, d_best, u_best, v_best, oh_all
 
     def occluded_test(ox_, oy_, oz_, tx_, ty_, tz_, active):
         """Any-hit x -> target (ops/intersect_bf.test_occlusion_bf
@@ -481,12 +493,15 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
             outs.append(jnp.max(hit2.astype(jnp.float32), axis=0))
         return active & (_cat(outs) > 0.5)
 
+    def fetch_attr_oh(ohf):
+        # winner one-hot [n_pad, B] f32 comes straight from trace()'s
+        # argmin (no rebuild — the [n_pad, B] compare is ~0.8 ms/frame)
+        return dot_exact_b(attr_ref[:, :], ohf)  # [ATTR_COLS, B]
+
     def fetch_attr(prim):
-        return _cat([
-            dot_exact_b(attr_ref[:, :],
-                        (row_np == prim[c:c + hb][None, :]).astype(
-                            jnp.float32))
-            for c in range(0, b, hb)], axis=1)  # [ATTR_COLS, B]
+        return fetch_attr_oh(_cat([
+            (row_np == prim[c:c + hb][None, :]).astype(jnp.float32)
+            for c in range(0, b, hb)], axis=1))  # [ATTR_COLS, B]
 
     def fetch_mat(mid):
         # m_pad is ~8 rows: the [m_pad, b] one-hot stays cheap unchunked
@@ -494,6 +509,9 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         return dot_exact_b(mat_ref[:, :], oh)  # [MAT_COLS, B]
 
     def fetch_light(lid):
+        if l_pad <= 128:
+            oh = (row_l == lid[None, :]).astype(jnp.float32)
+            return dot_exact_b(light_ref[:, :], oh)  # [LT_ROWS, B]
         return _cat([
             dot_exact_b(light_ref[:, :],
                         (row_l == lid[c:c + hb][None, :]).astype(
@@ -741,11 +759,11 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         rox = px + wix * _RAY_OFFSET
         roy = py + wiy * _RAY_OFFSET
         roz = pz + wiz * _RAY_OFFSET
-        got, hdist, hu, hv, hprim = trace(
+        got, hdist, hu, hv, oh_hit = trace(
             rox, roy, roz, wix, wiy, wiz, alive
         )
         alive = alive & got
-        at = fetch_attr(jnp.maximum(hprim, 0))
+        at = fetch_attr_oh(oh_hit)
         npx = at[0] + hu * at[3] + hv * at[6]
         npy = at[1] + hu * at[4] + hv * at[7]
         npz = at[2] + hu * at[5] + hv * at[8]
@@ -755,13 +773,19 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         nnx, nny, nnz = _norm3(nnx, nny, nnz)
         nmid = at[24].astype(jnp.int32)
         nmat = fetch_mat(nmid)
-        # procedural base color applies regardless of with_textures
-        # (ops/texture.fetch_textured_material:102-104)
-        u_uv = at[18] + hu * at[20] + hv * at[22]
-        v_uv = at[19] + hu * at[21] + hv * at[23]
-        proc = _procedural_tex(u_uv, v_uv)
-        is_proc = nmat[7] < -1.5
-        nbase = [jnp.where(is_proc, proc, nmat[1 + k]) for k in range(3)]
+        if has_proc:
+            # procedural base color applies regardless of with_textures
+            # (ops/texture.fetch_textured_material:102-104); scenes
+            # without the marker drop the whole chain (a full pcg4d +
+            # 2 sins + the uv interpolation) at compile time
+            u_uv = at[18] + hu * at[20] + hv * at[22]
+            v_uv = at[19] + hu * at[21] + hv * at[23]
+            proc = _procedural_tex(u_uv, v_uv)
+            is_proc = nmat[7] < -1.5
+            nbase = [jnp.where(is_proc, proc, nmat[1 + k])
+                     for k in range(3)]
+        else:
+            nbase = [nmat[1 + k] for k in range(3)]
 
         # ---- light hit with MIS (restir.cu:345-367)
         hit_light = alive & (nmat[0] == _LIGHT)
@@ -847,15 +871,15 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "depth", "single_sided", "n_lights", "tile", "groups", "hit_fma",
-    "has_met", "has_die", "dbg", "interpret"))
+    "has_met", "has_die", "has_proc", "dbg", "interpret"))
 def gi_trace_pallas(
     in_pack, looper, tri_xform, prim_attr, mat_attr,
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
     pix0=0, tile: int = 0, groups=None, hit_fma: bool = False,
-    has_met: bool = True, has_die: bool = True, dbg=(),
-    interpret: bool = False,
+    has_met: bool = True, has_die: bool = True, has_proc: bool = True,
+    dbg=(), interpret: bool = False,
 ):
     """Run the fused GI trace. in_pack: [IN_CH, R/128, 128].
     Returns [GO_CH, R/128, 128].
@@ -902,6 +926,9 @@ def gi_trace_pallas(
     mat_t = mat_t.at[:, :mat_attr.shape[0]].set(
         mat_attr.T.astype(jnp.float32)
     )
+    # NOTE: l_pad < 128 measured 2.3x SLOWER end-to-end (384 vs 246 ms,
+    # prof/prof_gi_depth.py): Mosaic lowers the skinny [24, 8] @ [8, B]
+    # table dot far worse than the K=128 form — keep the 128 floor
     l_pad = _round_up(max(n_lights, 128), 128)
     lt = jnp.zeros((LT_ROWS, l_pad), jnp.float32)
     lt = lt.at[LT_PROB, :n_lights].set(light_prob[:n_lights])
@@ -951,7 +978,8 @@ def gi_trace_pallas(
             _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
             n_lights=n_lights, d_lo=d0, d_hi=d1,
             single_sided=single_sided, hit_fma=hit_fma,
-            has_met=has_met, has_die=has_die, dbg=dbg,
+            has_met=has_met, has_die=has_die, has_proc=has_proc,
+            dbg=dbg,
         )
         d0 = d1 + 1
         st = pl.pallas_call(

@@ -141,6 +141,30 @@ def test_gi_trace_depth1_exact(scene_cam):
         assert ok.all(), (name, 1.0 - ok.mean())
 
 
+def test_gi_trace_has_proc_off_identical(scene_cam):
+    """scene_has_procedural=False drops the sine-grid chain at compile
+    time; on scenes without the marker (cornell: all tex ids are -1)
+    the outputs must be BIT-IDENTICAL to the has_proc=True kernel."""
+    from restir_tpu.config import mat_flags
+
+    scene, cam = scene_cam
+    flags = mat_flags(scene)
+    assert not flags["scene_has_procedural"]
+    cfg_on = _cfg(aa_jitter=False, trace_depth=3)
+    cfg_off = cfg_on.replace(**flags)
+    looper = jnp.uint32(11)
+    gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg_on, looper)
+    ref = restir_gi.trace_gi_sample_fused(
+        scene, it, mat, d, cfg_on, looper, 0, interpret=True)
+    got = restir_gi.trace_gi_sample_fused(
+        scene, it, mat, d, cfg_off, looper, 0, interpret=True)
+    for a, b in zip(
+        (ref[0].lo, ref[0].xs, ref[0].ns, ref[1], ref[2], ref[3]),
+        (got[0].lo, got[0].xs, got[0].ns, got[1], got[2], got[3]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gi_trace_pads_partial_tiles():
     """Band sizes need not be 1024-multiples (the 1080p band split
     yields 259200-ray bands): the wrapper pads dead lanes."""

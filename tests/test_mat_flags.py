@@ -41,12 +41,14 @@ def test_mat_flags_derivation(lam_scene_cam):
     assert flags == {
         "scene_has_metallic": False,
         "scene_has_dielectric": False,
+        "scene_has_procedural": False,
     }
     mg, _ = procedural.cornell_box(block_materials=("metal", "glass"))
     flags = mat_flags(mg)
     assert flags == {
         "scene_has_metallic": True,
         "scene_has_dielectric": True,
+        "scene_has_procedural": False,
     }
 
 

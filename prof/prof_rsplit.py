@@ -63,22 +63,24 @@ def main():
 
     # stub the vis loop: occluded := 0 everywhere (keep temporal)
     orig = fk._vis_resident_kernel
+    import jax.experimental.pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu_
 
-    def novis(w0_ref, gb_ref, rs_ref, xu_ref, xv_ref, xw_ref,
-              prev_ref, looper_ref, out_ref, win_ref, sem,
-              *, k, nb, n_pad, window, temporal, temporal_clamp):
+    def novis(gb_ref, rs_ref, xpt_ref, prev_ref, looper_ref, out_ref,
+              win_ref, sem, *, k, nb, n_pad, window, temporal,
+              temporal_clamp):
         cg = gb_ref.shape[1]
         b = cg * 128
-        tile_id = jax.experimental.pallas.program_id(0)
-        import jax.experimental.pallas as pl_
-        pix = tile_id * b + jax.lax.broadcasted_iota(
-            jnp.int32, (b, 1), 0).reshape(b)
+        tile_id = pl_.program_id(0)
+        pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+            jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b))
         looper = looper_ref[0]
         if temporal:
-            from jax.experimental.pallas import tpu as pltpu_
-            w0 = pl_.multiple_of(w0_ref[tile_id], 128)
+            w0 = fk._window_start(gb_ref, prev_ref, window)
             pltpu_.make_async_copy(
                 prev_ref.at[:, pl_.ds(w0, window)], win_ref, sem).start()
+        else:
+            w0 = None
 
         def ch(i):
             return gb_ref[i, :, :].reshape(b)
@@ -92,7 +94,7 @@ def main():
                rch(fk.RS_DIST), rch(fk.RS_W),
                jnp.where(shade, float(k), 0.0))
         fk._temporal_merge_pack(
-            gb_ref, out_ref, prev_ref, w0_ref, win_ref, sem, looper, pix,
+            gb_ref, out_ref, prev_ref, w0, win_ref, sem, looper, pix,
             res, window=window, temporal=temporal,
             temporal_clamp=temporal_clamp)
 

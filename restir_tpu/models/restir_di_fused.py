@@ -133,32 +133,58 @@ def step_fused(
 
     has_env = cfg.has_env_map
 
-    gb = fk.gbuffer_pack_pallas(
-        cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
-        scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
-        scene.sub_lo, scene.sub_hi,
-        width=cfg.width, height=cfg.height,
-        aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
-        has_env=has_env, env_tile_rad=scene.env_tile_rad,
-        with_textures=cfg.with_textures, fused_atlas=scene.fused_atlas,
-        fused_tex_meta=scene.fused_tex_meta,
-        interpret=interpret,
-    )
+    n_tri = scene.tri_xform.shape[1] // 3
+    if n_tri <= fk._RESIDENT_MAX_TRIS:
+        # resident scenes run G + R1 + R2 as ONE fused kernel (two fewer
+        # per-frame dispatch floors; bitwise-identical to the split
+        # chain — see fused_di._di_resident_kernel)
+        gb, pt = fk.di_resident_pallas(
+            cam_vec, lcam_vec, looper,
+            state.pt_pack.reshape(fk.PT_CH, r),
+            scene.tri_xform, scene.prim_attr, scene.mat_attr,
+            scene.light_verts, scene.light_normal, scene.light_radiance,
+            scene.light_area, scene.light_center, scene.light_radius,
+            width=cfg.width, height=cfg.height,
+            aa_jitter=cfg.aa_jitter,
+            single_sided=cfg.single_sided_lights,
+            k=cfg.cdf_candidates,
+            temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
+            temporal_clamp=cfg.temporal_clamp,
+            has_env=has_env, env_tile_rad=scene.env_tile_rad,
+            env_tile_uv=scene.env_tile_uv, env_tile_sa=scene.env_tile_sa,
+            with_textures=cfg.with_textures,
+            fused_atlas=scene.fused_atlas,
+            fused_tex_meta=scene.fused_tex_meta,
+            has_met=cfg.scene_has_metallic,
+            interpret=interpret,
+        )
+    else:
+        gb = fk.gbuffer_pack_pallas(
+            cam_vec, lcam_vec, looper, scene.tri_xform, scene.prim_attr,
+            scene.mat_attr, scene.cluster_lo, scene.cluster_hi,
+            scene.sub_lo, scene.sub_hi,
+            width=cfg.width, height=cfg.height,
+            aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
+            has_env=has_env, env_tile_rad=scene.env_tile_rad,
+            with_textures=cfg.with_textures, fused_atlas=scene.fused_atlas,
+            fused_tex_meta=scene.fused_tex_meta,
+            interpret=interpret,
+        )
 
-    pt = fk.reuse_pallas(
-        gb, state.pt_pack.reshape(fk.PT_CH, r), looper,
-        scene.light_verts, scene.light_normal, scene.light_radiance,
-        scene.light_area, scene.light_center, scene.light_radius,
-        scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
-        scene.sub_lo, scene.sub_hi,
-        k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
-        temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
-        temporal_clamp=cfg.temporal_clamp,
-        has_env=has_env, env_tile_rad=scene.env_tile_rad,
-        env_tile_uv=scene.env_tile_uv, env_tile_sa=scene.env_tile_sa,
-        has_met=cfg.scene_has_metallic,
-        interpret=interpret,
-    )
+        pt = fk.reuse_pallas(
+            gb, state.pt_pack.reshape(fk.PT_CH, r), looper,
+            scene.light_verts, scene.light_normal, scene.light_radiance,
+            scene.light_area, scene.light_center, scene.light_radius,
+            scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+            scene.sub_lo, scene.sub_hi,
+            k=cfg.cdf_candidates, single_sided=cfg.single_sided_lights,
+            temporal=bool(cfg.reuse & ReuseMode.TEMPORAL),
+            temporal_clamp=cfg.temporal_clamp,
+            has_env=has_env, env_tile_rad=scene.env_tile_rad,
+            env_tile_uv=scene.env_tile_uv, env_tile_sa=scene.env_tile_sa,
+            has_met=cfg.scene_has_metallic,
+            interpret=interpret,
+        )
 
     accum = fk.spatial_shade_pallas(
         gb, pt, pt.reshape(fk.PT_CH, r), state.accum, looper,

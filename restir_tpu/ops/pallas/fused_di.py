@@ -1117,6 +1117,52 @@ def _primary_cluster_lists(cam_vec, width, height, tile, cluster_lo,
     return counts, order, dmin.astype(jnp.float32)
 
 
+def _env_tex_tables(has_env, env_tile_rad, with_textures, fused_atlas,
+                    fused_tex_meta):
+    """Env-tile radiance + texture atlas/meta in the kernel-ready
+    transposed forms (zero placeholders when the feature is off)."""
+    if has_env:
+        et = env_tile_rad.shape[0]
+        assert et == _ETH * _ETW
+        env8 = jnp.concatenate(
+            [env_tile_rad.astype(jnp.float32).T, jnp.zeros((5, et))]
+        )  # [8, ET]
+    else:
+        env8 = jnp.zeros((8, 128), jnp.float32)
+    if with_textures:
+        atlas = fused_atlas.astype(jnp.float32)
+        tmeta = fused_tex_meta.astype(jnp.float32)
+        meta_t = jnp.concatenate(
+            [tmeta.T, jnp.zeros((8 - tmeta.shape[1], tmeta.shape[0]))]
+        )  # [8, T_pad]
+    else:
+        atlas = jnp.zeros((384, 128), jnp.float32)
+        meta_t = jnp.zeros((8, 8), jnp.float32)
+    return env8, atlas, meta_t
+
+
+def _resident_tables(tri_xform, prim_attr):
+    """VMEM-resident geometry tables: tri-major plane table (cols 0:4 xu,
+    4:8 xv, 8:12 xw; zero lanes pad to the 128-lane tile) + transposed
+    attribute table, at the wider resident block size."""
+    n = tri_xform.shape[1] // 3
+    n_pad = _round_up(max(n, 128), 128)
+    nb_res = min(256, n_pad)
+    n_pad_res = _round_up(n_pad, nb_res)
+    xu, xv, xw = _split_planes(tri_xform, n_pad_res)
+    xpt_res = jnp.concatenate(
+        [xu, xv, xw, jnp.zeros((116, n_pad_res), xu.dtype)], axis=0).T
+    attr_res = prim_attr
+    if n_pad_res != attr_res.shape[0]:
+        attr_res = jnp.concatenate([
+            attr_res,
+            jnp.zeros((n_pad_res - attr_res.shape[0], ATTR_COLS),
+                      attr_res.dtype),
+        ])
+    attr_res = attr_res.T  # [ATTR_COLS, n_pad_res]
+    return xpt_res, attr_res, nb_res, n_pad_res
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "aa_jitter",
                                               "single_sided", "nb", "has_env",
                                               "with_textures", "interpret"))
@@ -1137,23 +1183,9 @@ def gbuffer_pack_pallas(
     plus its global first-pixel index `pix0` — the kernel then renders
     just that band (resident geometry only)."""
     r = width * height
-    if has_env:
-        et = env_tile_rad.shape[0]
-        assert et == _ETH * _ETW
-        env8 = jnp.concatenate(
-            [env_tile_rad.astype(jnp.float32).T, jnp.zeros((5, et))]
-        )  # [8, ET]
-    else:
-        env8 = jnp.zeros((8, 128), jnp.float32)
-    if with_textures:
-        atlas = fused_atlas.astype(jnp.float32)
-        tmeta = fused_tex_meta.astype(jnp.float32)
-        meta_t = jnp.concatenate(
-            [tmeta.T, jnp.zeros((8 - tmeta.shape[1], tmeta.shape[0]))]
-        )  # [8, T_pad]
-    else:
-        atlas = jnp.zeros((384, 128), jnp.float32)
-        meta_t = jnp.zeros((8, 8), jnp.float32)
+    env8, atlas, meta_t = _env_tex_tables(
+        has_env, env_tile_rad, with_textures, fused_atlas, fused_tex_meta
+    )
     assert width % 128 == 0 and height % 8 == 0
     n = tri_xform.shape[1] // 3
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
@@ -1184,21 +1216,9 @@ def gbuffer_pack_pallas(
         # small scene: all geometry fits VMEM — skip the cluster
         # streaming (its DMA sync overhead dominates at few clusters)
         # and run the hit matmuls at a wider block size
-        nb_res = min(256, n_pad)
-        n_pad_res = _round_up(n_pad, nb_res)
-        xu, xv, xw = _split_planes(tri_xform, n_pad_res)
-        # tri-major plane table for the FMA hit chains (cols 0:4 xu,
-        # 4:8 xv, 8:12 xw; zero lanes pad to the 128-lane tile)
-        xpt_res = jnp.concatenate(
-            [xu, xv, xw, jnp.zeros((116, n_pad_res), xu.dtype)], axis=0).T
-        attr_res = prim_attr
-        if n_pad_res != attr_res.shape[0]:
-            attr_res = jnp.concatenate([
-                attr_res,
-                jnp.zeros((n_pad_res - attr_res.shape[0], ATTR_COLS),
-                          attr_res.dtype),
-            ])
-        attr_res = attr_res.T  # [ATTR_COLS, n_pad_res]
+        xpt_res, attr_res, nb_res, n_pad_res = _resident_tables(
+            tri_xform, prim_attr
+        )
         kernel = functools.partial(
             _gbuffer_kernel_resident, n_pad=n_pad_res, nb=nb_res,
             m_pad=m_pad, width=width, height=height, aa_jitter=aa_jitter,
@@ -1423,7 +1443,31 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
                        lumaux_ref, tri_lo_ref, light_ref, looper_ref,
                        out_ref, *, l_pad, k, single_sided, n_area,
                        has_env, has_met=True):
-    """Lane-batched RIS candidate stage.
+    """Lane-batched RIS candidate stage (kernel R1 of the streaming
+    pipeline; the resident pipeline runs the same core fused into
+    _di_resident_kernel)."""
+    cg = gb_ref.shape[1]
+    b = cg * 128
+    tile_id = pl.program_id(0)
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
+    looper = looper_ref[0]
+    sel = _ris_select_core(
+        gb_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumaux_ref, tri_lo_ref,
+        light_ref, pix, looper, l_pad=l_pad, k=k,
+        single_sided=single_sided, n_area=n_area, has_env=has_env,
+        has_met=has_met,
+    )
+    for i in range(RS_CH):
+        out_ref[i, :, :] = sel[i]
+
+
+def _ris_select_core(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
+                     lumaux_ref, tri_lo_ref, light_ref, pix, looper,
+                     *, l_pad, k, single_sided, n_area,
+                     has_env, has_met=True):
+    """Lane-batched RIS candidate selection (restir.cu:156-169).
 
     Round-2 profiling (BASELINE.md) showed the K-iteration candidate
     loop dominated by Mosaic's fixed per-op dispatch overhead on narrow
@@ -1438,6 +1482,8 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     reservoir updates (restir.h:38-44: P(pick k) = w_k / W either way)
     and mirrored exactly by models/restir_di._ris_cdf. The selection
     draw is candidate 0's 4th uniform (unused by the draw itself).
+
+    Returns the RS pack channels (RS_LI..RS_W) as [cg, 128] arrays.
     """
     cg = gb_ref.shape[1]
     b = cg * 128
@@ -1445,12 +1491,6 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
 
     def ch(i):
         return gb_ref[i, :, :].reshape(b)
-
-    tile_id = pl.program_id(0)
-    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
-        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
-    )
-    looper = looper_ref[0]
 
     px, py, pz = ch(G_POS), ch(G_POS + 1), ch(G_POS + 2)
     nx, ny, nz = ch(G_NORM), ch(G_NORM + 1), ch(G_NORM + 2)
@@ -1624,17 +1664,16 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
     p_sel = (jax.lax.rem(colp, cg) == rowp).astype(jnp.float32)
     sel = dot_exact_a(p_sel, a_cat * take_cat)  # [8, 7*128]
 
-    def put1(i, val):
-        out_ref[i, :, :] = val
-
-    put1(RS_LI, sel[:, 0:128])
-    put1(RS_LI + 1, sel[:, 128:256])
-    put1(RS_LI + 2, sel[:, 256:384])
-    put1(RS_WI, sel[:, 384:512])
-    put1(RS_WI + 1, sel[:, 512:640])
-    put1(RS_WI + 2, sel[:, 640:768])
-    put1(RS_DIST, sel[:, 768:896])
-    put1(RS_W, r_weight)
+    out = [None] * RS_CH
+    out[RS_LI] = sel[:, 0:128]
+    out[RS_LI + 1] = sel[:, 128:256]
+    out[RS_LI + 2] = sel[:, 256:384]
+    out[RS_WI] = sel[:, 384:512]
+    out[RS_WI + 1] = sel[:, 512:640]
+    out[RS_WI + 2] = sel[:, 640:768]
+    out[RS_DIST] = sel[:, 768:896]
+    out[RS_W] = r_weight
+    return tuple(out)
 
 
 # ray-pack channel layout for the wavefront-sorted visibility kernel
@@ -1857,15 +1896,33 @@ def _vis_resident_kernel(gb_ref, rs_ref, xpt_ref,
     lists, no per-cluster DMA sync)."""
     cg = gb_ref.shape[1]
     b = cg * 128
-
-    def ch(i):
-        return gb_ref[i, :, :].reshape(b)
-
     tile_id = pl.program_id(0)
     pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
         jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
     )
     looper = looper_ref[0]
+
+    def rch(i):
+        return rs_ref[i, :, :].reshape(b)
+
+    rs_vals = tuple(rch(i) for i in range(RS_CH))
+    _vis_resident_core(
+        gb_ref, rs_vals, xpt_ref, prev_ref, looper, pix, out_ref,
+        win_ref, sem, k=k, nb=nb, n_pad=n_pad, window=window,
+        temporal=temporal, temporal_clamp=temporal_clamp,
+    )
+
+
+def _vis_resident_core(gb_ref, rs_vals, xpt_ref, prev_ref, looper, pix,
+                       out_ref, win_ref, sem,
+                       *, k, nb, n_pad, window, temporal, temporal_clamp):
+    """Winner visibility (brute over resident plane blocks) + temporal
+    merge. `rs_vals` are the RS-pack channels as 1-D [B] arrays."""
+    cg = gb_ref.shape[1]
+    b = cg * 128
+
+    def ch(i):
+        return gb_ref[i, :, :].reshape(b)
 
     if temporal:
         w0 = _window_start(gb_ref, prev_ref, window)
@@ -1879,13 +1936,10 @@ def _vis_resident_kernel(gb_ref, rs_ref, xpt_ref,
     shade = ch(G_SHADE) > 0.5
     prim_origin = ch(G_PRIM).astype(jnp.int32)
 
-    def rch(i):
-        return rs_ref[i, :, :].reshape(b)
-
-    r_li_x, r_li_y, r_li_z = rch(RS_LI), rch(RS_LI + 1), rch(RS_LI + 2)
-    r_wi_x, r_wi_y, r_wi_z = rch(RS_WI), rch(RS_WI + 1), rch(RS_WI + 2)
-    r_dist = rch(RS_DIST)
-    r_weight = rch(RS_W)
+    r_li_x, r_li_y, r_li_z = rs_vals[RS_LI], rs_vals[RS_LI + 1], rs_vals[RS_LI + 2]
+    r_wi_x, r_wi_y, r_wi_z = rs_vals[RS_WI], rs_vals[RS_WI + 1], rs_vals[RS_WI + 2]
+    r_dist = rs_vals[RS_DIST]
+    r_weight = rs_vals[RS_W]
     r_m = jnp.where(shade, float(k), 0.0)
 
     # winner visibility (restir.cu:172-176), brute over resident blocks
@@ -2501,6 +2555,161 @@ def reuse_pallas(
         ),
         interpret=interpret,
     )(gb_pack, rs, occ, prev_pack, _lp2(looper, pix0))
+
+
+# ---------------------------------------------------------------------------
+# fused resident DI kernel: G + R1 + R2 in one dispatch
+
+
+def _di_resident_kernel(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
+                        attr_ref, mat_ref, env_ref, atlas_ref, texmeta_ref,
+                        psi_a_ref, psi_b_ref, psi_c_ref, lumaux_ref,
+                        tri_lo_ref, light_ref, prev_ref,
+                        gb_ref, pt_ref, win_ref, sem,
+                        *, n_pad, nb, m_pad, width, height, aa_jitter,
+                        single_sided, has_env, with_textures,
+                        l_pad, k, n_area, has_met,
+                        window, temporal, temporal_clamp):
+    """ONE kernel for the whole resident DI reuse chain: primary hit +
+    G-buffer epilogue (writes gb_ref), RIS candidate selection, winner
+    visibility, temporal merge (writes pt_ref) — kernels G/R1/R2 fused.
+
+    Small resident scenes are dispatch-bound: at 1080p the 3-kernel
+    chain pays 3 x 2025 grid steps x ~1.9 us of per-step overhead plus
+    the RS pack HBM round trip; fusing removes two of the three floors.
+    The bodies are the exact cores the standalone kernels run (the R1
+    stage reads the gb channels back from the just-written output
+    block), so parity with the split chain is bitwise."""
+    _gbuffer_kernel_resident(
+        cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref, attr_ref,
+        mat_ref, env_ref, atlas_ref, texmeta_ref, gb_ref,
+        n_pad=n_pad, nb=nb, m_pad=m_pad, width=width, height=height,
+        aa_jitter=aa_jitter, single_sided=single_sided, has_env=has_env,
+        with_textures=with_textures,
+    )
+    cg = gb_ref.shape[1]
+    b = cg * 128
+    tile_id = pl.program_id(0)
+    pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+    )
+    looper = looper_ref[0]
+    sel = _ris_select_core(
+        gb_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumaux_ref, tri_lo_ref,
+        light_ref, pix, looper, l_pad=l_pad, k=k,
+        single_sided=single_sided, n_area=n_area, has_env=has_env,
+        has_met=has_met,
+    )
+    rs_vals = tuple(v.reshape(b) for v in sel)
+    _vis_resident_core(
+        gb_ref, rs_vals, xpt_ref, prev_ref, looper, pix, pt_ref,
+        win_ref, sem, k=k, nb=nb, n_pad=n_pad, window=window,
+        temporal=temporal, temporal_clamp=temporal_clamp,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "aa_jitter", "single_sided", "k", "window",
+    "temporal", "temporal_clamp", "has_env", "with_textures", "has_met",
+    "interpret"))
+def di_resident_pallas(
+    cam_vec, lcam_vec, looper, prev_pack, tri_xform, prim_attr, mat_attr,
+    light_verts, light_normal, light_radiance, light_area, light_center,
+    light_radius,
+    *, width, height, aa_jitter=True, single_sided=True, k=4,
+    window=2048, temporal=True, temporal_clamp=20,
+    has_env=False, env_tile_rad=None, env_tile_uv=None, env_tile_sa=None,
+    with_textures=False, fused_atlas=None, fused_tex_meta=None,
+    has_met=True, interpret=False,
+):
+    """Fused resident-scene DI reuse chain: returns (gb_pack, pt_pack),
+    bitwise-identical to gbuffer_pack_pallas + reuse_pallas. Single-chip
+    only — the sharded row-band path keeps the split kernels (it feeds
+    per-band xy grids / rebased motion between them)."""
+    r = width * height
+    g = r // 128
+    env8, atlas, meta_t = _env_tex_tables(
+        has_env, env_tile_rad, with_textures, fused_atlas, fused_tex_meta
+    )
+    xpt_res, attr_res, nb_res, n_pad_res = _resident_tables(
+        tri_xform, prim_attr
+    )
+    m = mat_attr.shape[0]
+    m_pad = _round_up(m, 8)
+    mat = mat_attr
+    if m_pad != m:
+        mat = jnp.concatenate(
+            [mat, jnp.zeros((m_pad - m, MAT_COLS), mat.dtype)]
+        )
+    mat_t = mat.T
+    nl = light_verts.shape[0]
+    n_env = env_tile_rad.shape[0] if has_env else 0
+    l_pad = _round_up(max(nl + n_env, 128), 128)
+    psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table = build_light_tables(
+        light_verts, light_normal, light_radiance, light_area, light_center,
+        light_radius, l_pad,
+        env_tile_rad=env_tile_rad if has_env else None,
+        env_tile_uv=env_tile_uv if has_env else None,
+        env_tile_sa=env_tile_sa if has_env else None,
+    )
+    xy = make_xy_grid(width, height)
+    tg = _TILE // 128
+    kernel = functools.partial(
+        _di_resident_kernel, n_pad=n_pad_res, nb=nb_res, m_pad=m_pad,
+        width=width, height=height, aa_jitter=aa_jitter,
+        single_sided=single_sided, has_env=has_env,
+        with_textures=with_textures, l_pad=l_pad, k=k, n_area=nl,
+        has_met=has_met, window=window, temporal=temporal,
+        temporal_clamp=temporal_clamp,
+    )
+    full1 = lambda i: (0, 0)  # noqa: E731
+    gb, pt = pl.pallas_call(
+        kernel,
+        grid=(r // _TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad_res, 128), full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ATTR_COLS, n_pad_res), full1,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAT_COLS, m_pad), full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(env8.shape, full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(atlas.shape, full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(meta_t.shape, full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 4), full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 5), full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 2), full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, l_pad), full1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LIGHT_COLS, l_pad), full1,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((GB_CH, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT_CH, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((GB_CH, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((PT_CH, g, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PT_CH, window), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cam_vec, lcam_vec, _lp2(looper, 0), xy, xpt_res, attr_res, mat_t,
+      env8, atlas, meta_t, psi_a, psi_b, psi_c, lum_aux, tri_lo,
+      light_table, prev_pack)
+    return gb, pt
 
 
 # ---------------------------------------------------------------------------

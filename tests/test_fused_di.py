@@ -271,6 +271,45 @@ def test_streaming_reuse_matches_resident(monkeypatch):
     np.testing.assert_allclose(streaming, resident, rtol=2e-4, atol=1e-5)
 
 
+def test_mega_di_kernel_matches_split_chain(scene_cam):
+    """The fused resident G+R1+R2 kernel (di_resident_pallas, one
+    dispatch) must be BITWISE identical to gbuffer_pack_pallas +
+    reuse_pallas: it runs the same cores over the same RNG streams, so
+    any drift is a fusion bug."""
+    scene, cam = scene_cam
+    cfg = _cfg()
+    looper = jnp.uint32(5)
+    cam_vec = fk.pack_camera(cam, cfg.width, cfg.height)
+    rng = np.random.default_rng(7)
+    prev = jnp.asarray(
+        np.abs(rng.normal(size=(fk.PT_CH, cfg.num_pixels))).astype(
+            np.float32))
+
+    gb1 = _gb_pack(scene, cam, cfg, looper)
+    pt1 = fk.reuse_pallas(
+        gb1, prev, looper,
+        scene.light_verts, scene.light_normal, scene.light_radiance,
+        scene.light_area, scene.light_center, scene.light_radius,
+        scene.tri_xform, scene.cluster_lo, scene.cluster_hi,
+        scene.sub_lo, scene.sub_hi,
+        k=4, single_sided=cfg.single_sided_lights,
+        temporal=True, temporal_clamp=cfg.temporal_clamp,
+        interpret=True,
+    )
+    gb2, pt2 = fk.di_resident_pallas(
+        cam_vec, cam_vec, looper, prev,
+        scene.tri_xform, scene.prim_attr, scene.mat_attr,
+        scene.light_verts, scene.light_normal, scene.light_radiance,
+        scene.light_area, scene.light_center, scene.light_radius,
+        width=cfg.width, height=cfg.height,
+        aa_jitter=cfg.aa_jitter, single_sided=cfg.single_sided_lights,
+        k=4, temporal=True, temporal_clamp=cfg.temporal_clamp,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(gb1), np.asarray(gb2))
+    assert np.array_equal(np.asarray(pt1), np.asarray(pt2))
+
+
 def test_fused_step_determinism(scene_cam):
     scene, cam = scene_cam
     cfg = _cfg()

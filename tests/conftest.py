@@ -29,6 +29,12 @@ except Exception:  # pragma: no cover - jax internals moved
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+# Persistent compile cache: the fast loop's wall time is dominated by
+# CPU XLA compiles (interpret-mode pallas programs especially); cached,
+# a warm `-m "not slow"` pass drops from ~15 min to a few minutes.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_configure(config):
     config.addinivalue_line(

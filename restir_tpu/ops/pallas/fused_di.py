@@ -2611,7 +2611,7 @@ def _di_resident_kernel(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "aa_jitter", "single_sided", "k", "window",
     "temporal", "temporal_clamp", "has_env", "with_textures", "has_met",
-    "interpret"))
+    "tile", "interpret"))
 def di_resident_pallas(
     cam_vec, lcam_vec, looper, prev_pack, tri_xform, prim_attr, mat_attr,
     light_verts, light_normal, light_radiance, light_area, light_center,
@@ -2620,14 +2620,24 @@ def di_resident_pallas(
     window=2048, temporal=True, temporal_clamp=20,
     has_env=False, env_tile_rad=None, env_tile_uv=None, env_tile_sa=None,
     with_textures=False, fused_atlas=None, fused_tex_meta=None,
-    has_met=True, interpret=False,
+    has_met=True, tile=0, interpret=False,
 ):
     """Fused resident-scene DI reuse chain: returns (gb_pack, pt_pack),
     bitwise-identical to gbuffer_pack_pallas + reuse_pallas. Single-chip
     only — the sharded row-band path keeps the split kernels (it feeds
-    per-band xy grids / rebased motion between them)."""
+    per-band xy grids / rebased motion between them).
+
+    `tile` (rays per grid step, 0 = _TILE) must divide the frame and the
+    temporal `window` must cover a tile's motion spread (use >= 2*tile,
+    or temporal taps past the window read as disocclusions): the in-
+    kernel RNG keys on global pixel indices, so results are tile-
+    invariant apart from that window clamp."""
     r = width * height
     g = r // 128
+    if tile <= 0:
+        tile = _TILE
+    assert r % tile == 0, (r, tile)
+    assert window >= 2 * tile or not temporal, (window, tile)
     env8, atlas, meta_t = _env_tex_tables(
         has_env, env_tile_rad, with_textures, fused_atlas, fused_tex_meta
     )
@@ -2653,7 +2663,7 @@ def di_resident_pallas(
         env_tile_sa=env_tile_sa if has_env else None,
     )
     xy = make_xy_grid(width, height)
-    tg = _TILE // 128
+    tg = tile // 128
     kernel = functools.partial(
         _di_resident_kernel, n_pad=n_pad_res, nb=nb_res, m_pad=m_pad,
         width=width, height=height, aa_jitter=aa_jitter,
@@ -2665,7 +2675,7 @@ def di_resident_pallas(
     full1 = lambda i: (0, 0)  # noqa: E731
     gb, pt = pl.pallas_call(
         kernel,
-        grid=(r // _TILE,),
+        grid=(r // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -46,7 +46,9 @@ for name, kw in variants.items():
     sync(frame)
     steps[name] = (cfg, renderer.init_state(cfg, cam, scene))
 
-# interleaved A/B/C/D
+# interleaved A/B/C/D. step_jit DONATES the state, so the post-step
+# state must be threaded back into `steps` each rep (a stale cached
+# state would be a deleted jax.Array on rep 1).
 times = {k: [] for k in steps}
 for rep in range(6):
     for name, (cfg, state) in steps.items():
@@ -56,6 +58,7 @@ for rep in range(6):
             st, frame = renderer.step_jit(scene, st, cam, cfg)
         sync(frame)
         times[name].append((time.perf_counter() - t0) / 4)
+        steps[name] = (cfg, st)
 for name, ts in times.items():
     ts = sorted(ts)
     print(f"{name}: min {ts[0]*1e3:.1f} ms  med {ts[len(ts)//2]*1e3:.1f} ms",

@@ -1,6 +1,10 @@
 """Tile-size sweep for the resident DI mega-kernel (G+R1+R2): wider
-tiles amortize the per-grid-step dispatch floor; window = 2*tile keeps
-temporal coverage. Interleaved A/B at 1080p on the headline scene.
+tiles amortize the per-grid-step dispatch floor. The temporal WINDOW is
+held FIXED across all tiles (max over the sweep) so timings isolate the
+tile/dispatch effect — window size changes both the one-hot gather cost
+([window, tile] iota/onehot, ~window*tile*4 B VMEM) and, per the
+docstring on di_resident_pallas, the results themselves (window clamp),
+so a confounded sweep would time AND parity-check different programs.
 
 PYTHONPATH=/root/repo:/root/.axon_site python prof/prof_megatile.py
 """
@@ -27,6 +31,7 @@ prev = jnp.zeros((fk.PT_CH, r))
 
 tiles = [int(t) for t in os.environ.get("MEGA_TILES",
                                         "1024,3072,5120").split(",")]
+WINDOW = max(2048, 2 * max(tiles))  # fixed across the sweep
 
 
 def run(tile):
@@ -36,7 +41,7 @@ def run(tile):
         scene.light_verts, scene.light_normal, scene.light_radiance,
         scene.light_area, scene.light_center, scene.light_radius,
         width=width, height=height, k=4,
-        tile=tile, window=max(2048, 2 * tile))[1]
+        tile=tile, window=WINDOW)[1]
 
 
 outs = {}
@@ -51,6 +56,9 @@ for t in tiles:
         tiles = [x for x in tiles if x != t]
 
 import numpy as np
+import sys
+if not tiles:
+    sys.exit("all tile variants failed to compile (see messages above)")
 ref = np.asarray(outs[tiles[0]])
 for t in tiles[1:]:
     print(f"tile {t}: mismatch {np.mean(np.asarray(outs[t]) != ref):.2e}",

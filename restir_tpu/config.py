@@ -145,3 +145,23 @@ def mat_flags(scene) -> dict:
         "scene_has_procedural": bool(
             (np.asarray(scene.mat_attr[:, 7]) < -1.5).any()),
     }
+
+
+def validate_mat_flags(cfg: "RenderConfig", scene) -> None:
+    """Host-side footgun guard (renderer.init_state calls this): a cfg
+    whose scene_has_* flags compile OUT a BSDF/texture chain the scene
+    actually uses would silently mis-render — the reference has no such
+    failure mode because its material switch is runtime
+    (material.h:218-256). Extra compiled-in chains are harmless (just
+    slower), so only required-but-missing flags raise."""
+    need = mat_flags(scene)
+    missing = [
+        k for k, req in need.items() if req and not getattr(cfg, k)
+    ]
+    if missing:
+        raise ValueError(
+            f"RenderConfig {missing} is False but the scene contains "
+            "such materials — the compiled kernels would drop their "
+            "BSDF chains and silently mis-render. Build the config "
+            "with cfg.replace(**config.mat_flags(scene))."
+        )

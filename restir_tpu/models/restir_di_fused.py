@@ -70,6 +70,51 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     )
 
 
+def ineligibility_reason(scene: SceneData, cfg: RenderConfig):
+    """Why a RESTIR_DI/GI config falls off the fused TPU path (None if
+    eligible). The fallback is the ~6x slower general pipeline, so
+    renderer.init_state logs this once — the reference's single hot
+    path (restir.cu:111-231) carries every option at full speed and has
+    no silent degradation mode."""
+    from ..ops.intersect import _on_tpu
+    from ..models.restir_di import resolve_ris_mode
+
+    if cfg.tracer not in (TracerType.RESTIR_DI, TracerType.RESTIR_GI):
+        return None  # other tracers have no fused variant to miss
+    if eligible(scene, cfg):
+        return None
+    if not _on_tpu():
+        # off-TPU (CPU tests / dev) the general pipeline IS the
+        # intended path — nothing to warn about
+        return None
+    reasons = []
+    if cfg.tracer == TracerType.RESTIR_GI:
+        from ..models.restir_gi import gi_resolve_fused_eligible
+
+        if not gi_resolve_fused_eligible(scene, cfg, cfg.num_pixels):
+            reasons.append("GI resolve gate (gi_resolve_fused_eligible)")
+    if not _on_tpu():
+        reasons.append("not running on TPU")
+    if cfg.enable_dof:
+        reasons.append("thin-lens DoF enabled")
+    if cfg.width % 128 != 0:
+        reasons.append(f"width {cfg.width} not a multiple of 128")
+    if cfg.height % 8 != 0:
+        reasons.append(f"height {cfg.height} not a multiple of 8")
+    if resolve_ris_mode(cfg) != "cdf":
+        reasons.append(f"ris_mode resolves to {resolve_ris_mode(cfg)!r}"
+                       " (fused path needs 'cdf')")
+    if cfg.sampler != "pcg4d":
+        reasons.append(f"sampler {cfg.sampler!r} (fused path is pcg4d)")
+    if cfg.intersector not in ("auto", "brute", "clustered"):
+        reasons.append(f"intersector {cfg.intersector!r}")
+    if cfg.denoiser not in (
+        DenoiserType.NONE, DenoiserType.EAW, DenoiserType.SVGF
+    ):
+        reasons.append(f"denoiser {cfg.denoiser}")
+    return "; ".join(reasons) or "unknown gate"
+
+
 def init_state(cfg: RenderConfig, cam: Camera) -> FusedDIState:
     g = cfg.num_pixels // 128
     cam = jax.tree.map(lambda x: jnp.array(x, copy=True), cam)

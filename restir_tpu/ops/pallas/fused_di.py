@@ -2637,6 +2637,7 @@ def di_resident_pallas(
     if tile <= 0:
         tile = _TILE
     assert r % tile == 0, (r, tile)
+    assert tile % 128 == 0, tile  # tg = tile // 128 must cover the tile
     assert window >= 2 * tile or not temporal, (window, tile)
     env8, atlas, meta_t = _env_tex_tables(
         has_env, env_tile_rad, with_textures, fused_atlas, fused_tex_meta

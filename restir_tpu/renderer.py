@@ -46,12 +46,33 @@ class RenderState(NamedTuple):
     denoiser: dn.SVGFState  # SVGF temporal accumulation state
 
 
+_warned_fallback: set = set()
+
+
 def init_state(cfg: RenderConfig, cam: Camera, scene: Optional[SceneData] = None):
     """Render state for the config. When `scene` is given and the fused
     channel-major TPU pipeline applies (models/restir_di_fused.eligible),
-    returns its packed FusedDIState instead of the general RenderState."""
-    if scene is not None and restir_di_fused.eligible(scene, cfg):
-        return restir_di_fused.init_state(cfg, cam)
+    returns its packed FusedDIState instead of the general RenderState.
+
+    Host-side guards (both need `scene`): raises if cfg's static
+    scene_has_* flags would compile out a BSDF chain the scene uses
+    (config.validate_mat_flags); warns ONCE per config when a ReSTIR
+    tracer falls off the fused path onto the ~6x slower general
+    pipeline, naming the gate that failed."""
+    if scene is not None:
+        from .config import validate_mat_flags
+
+        validate_mat_flags(cfg, scene)
+        if restir_di_fused.eligible(scene, cfg):
+            return restir_di_fused.init_state(cfg, cam)
+        reason = restir_di_fused.ineligibility_reason(scene, cfg)
+        if reason is not None and cfg not in _warned_fallback:
+            _warned_fallback.add(cfg)
+            import warnings
+
+            warnings.warn(
+                "restir_tpu: falling back to the general (slower) "
+                f"pipeline — {reason}", stacklevel=2)
     r = cfg.num_pixels
     # copy the camera leaves: the state is donated by step_jit, so it
     # must not alias the caller's camera buffers

@@ -296,6 +296,43 @@ def test_gi_fused_pipeline_step(scene_cam):
 
 
 @pytest.mark.slow
+def test_gi_trace_depth5_statistical_metal_glass():
+    """VERDICT r4 #8: the deep-depth evidence must not rest on the 3%
+    lane-match slack alone. Depth-5 DISTRIBUTION equivalence of the
+    traced sample field (fused kernel vs XLA tracer) on the
+    metallic+dielectric cornell: over 8 independent frames the Lo
+    field's mean and standard deviation agree within 2% / 5% — the two
+    tracers draw identical RNG streams, so surviving differences are
+    only tie-rerouted paths, which must be distribution-neutral."""
+    scene, camkw = procedural.cornell_box(
+        block_materials=("metal", "glass"))
+    cam = make_camera(**camkw)
+    cfg = _cfg(aa_jitter=False, trace_depth=5)
+    pix = jnp.arange(R, dtype=jnp.uint32)
+
+    ref_lo, got_lo = [], []
+    for f in range(8):
+        looper = jnp.uint32(100 + f)
+        gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+        r_s, _, _, r_v = restir_gi.trace_gi_sample(
+            scene, it, mat, d, cfg, looper, pix)
+        g_s, _, _, g_v = restir_gi.trace_gi_sample_fused(
+            scene, it, mat, d, cfg, looper, 0, interpret=True)
+        ref_lo.append(np.asarray(r_s.lo) * np.asarray(r_v)[:, None])
+        got_lo.append(np.asarray(g_s.lo) * np.asarray(g_v)[:, None])
+    ref = np.concatenate(ref_lo)
+    got = np.concatenate(got_lo)
+    # clip the firefly tail symmetrically: a single rerouted high-energy
+    # specular path would otherwise dominate the variance estimate
+    hi = np.quantile(ref, 0.9999)
+    ref_c, got_c = np.minimum(ref, hi), np.minimum(got, hi)
+    assert abs(got_c.mean() - ref_c.mean()) / ref_c.mean() < 0.02, (
+        got_c.mean(), ref_c.mean())
+    assert abs(got_c.std() - ref_c.std()) / ref_c.std() < 0.05, (
+        got_c.std(), ref_c.std())
+
+
+@pytest.mark.slow
 def test_gi_fused_step_statistical(scene_cam, monkeypatch):
     """Full restir_indirect with the kernel trace vs the XLA trace:
     multi-frame image means agree (the reservoir/temporal/shade stage

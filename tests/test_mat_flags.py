@@ -87,6 +87,49 @@ def test_gi_trace_specialized_is_exact(lam_scene_cam):
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_mismatched_flags_raise(lam_scene_cam):
+    """init_state refuses a cfg whose static flags would compile OUT a
+    BSDF chain the scene uses (silent mis-render otherwise — the
+    reference's material switch is runtime, material.h:218-256, so it
+    has no such footgun)."""
+    from restir_tpu import renderer
+
+    _, cam = lam_scene_cam
+    mg, camkw = procedural.cornell_box(block_materials=("metal", "glass"))
+    cfg = _cfg(scene_has_metallic=False, scene_has_dielectric=True,
+               scene_has_procedural=True)
+    with pytest.raises(ValueError, match="scene_has_metallic"):
+        renderer.init_state(cfg, cam, mg)
+    # conservative (all chains in) is always accepted
+    renderer.init_state(_cfg(), cam, mg)
+    # exact flags accepted
+    renderer.init_state(_cfg(**mat_flags(mg)), cam, mg)
+
+
+def test_fused_fallback_warns_once(lam_scene_cam, monkeypatch):
+    """A ReSTIR config that misses the fused path warns once with the
+    failed gate named (VERDICT r4 weak #7: the ~6x fallback was
+    silent). Off-TPU the general pipeline is the intended path, so the
+    warning only fires on TPU — emulated here by patching _on_tpu."""
+    import warnings
+
+    from restir_tpu import renderer
+    from restir_tpu.ops import intersect
+
+    monkeypatch.setattr(intersect, "_on_tpu", lambda: True)
+    scene, cam = lam_scene_cam
+    # width 100 breaks the fused W % 128 == 0 gate
+    cfg = RenderConfig(width=100, height=32, tracer=TracerType.RESTIR_DI)
+    renderer._warned_fallback.discard(cfg)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        renderer.init_state(cfg, cam, scene)
+        renderer.init_state(cfg, cam, scene)  # second call: no new warn
+    msgs = [str(w.message) for w in rec if "general" in str(w.message)]
+    assert len(msgs) == 1, msgs
+    assert "128" in msgs[0]
+
+
 def test_di_reuse_specialized_is_exact(lam_scene_cam):
     """Fused DI reuse (RIS + vis + temporal) with has_met=False matches
     the conservative kernel bit for bit on an all-Lambertian scene."""

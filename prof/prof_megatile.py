@@ -31,7 +31,8 @@ prev = jnp.zeros((fk.PT_CH, r))
 
 tiles = [int(t) for t in os.environ.get("MEGA_TILES",
                                         "1024,3072,5120").split(",")]
-WINDOW = max(2048, 2 * max(tiles))  # fixed across the sweep
+WINDOW = -(-max(2048, 2 * max(tiles)) // 1024) * 1024  # fixed across
+# the sweep, rounded to the mod-gather's 1024 granularity
 
 
 def run(tile):

@@ -58,6 +58,7 @@ from .intersect_kernel import (
     MAT_COLS,
     NULL_PRIMITIVE,
     _BIG,
+    _bdot,
     _hi_lo,
     _hi_mid_lo,
     _round_up,
@@ -284,16 +285,24 @@ def _tile_raster_xy(width):
     return x, y, pix
 
 
-def _raygen(cam_ref, looper, x, y, pix, *, width, height, aa_jitter):
-    """Camera raygen (Camera::sample, sceneStructs.h:69-86)."""
+def _raygen(cam_ref, looper, x, y, pix, *, width, height, aa_jitter,
+            rxy=None):
+    """Camera raygen (Camera::sample, sceneStructs.h:69-86). `rxy`
+    passes jitter uniforms precomputed by a sublane-BATCHED pcg4d call
+    (the mega-kernel computes all its RNG in one call — per-op dispatch
+    on the ~25-op 1-D hash chain costs ~9 ms/frame at 1080p; the
+    batched form pays it once)."""
     b = x.shape[0]
     if aa_jitter:
-        u1, u2, _, _ = _pcg4d(
-            pix.astype(jnp.uint32), jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), 0, jnp.uint32),
-            jnp.full((b,), _SALT_CAMERA, jnp.uint32),
-        )
-        rx, ry = _unit(u1), _unit(u2)
+        if rxy is not None:
+            rx, ry = rxy
+        else:
+            u1, u2, _, _ = _pcg4d(
+                pix.astype(jnp.uint32), jnp.full((b,), looper, jnp.uint32),
+                jnp.full((b,), 0, jnp.uint32),
+                jnp.full((b,), _SALT_CAMERA, jnp.uint32),
+            )
+            rx, ry = _unit(u1), _unit(u2)
     else:
         rx = jnp.full((b,), 0.5, jnp.float32)
         ry = jnp.full((b,), 0.5, jnp.float32)
@@ -487,8 +496,10 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
             out_ref[i, 0, 0, :, :] = val.reshape(8, 128)
     else:
         # resident path: linear-pixel tiles write the pack directly
+        cg_out = out_ref.shape[1]
+
         def put(i, val):
-            out_ref[i, :, :] = val.reshape(8, 128)
+            out_ref[i, :, :] = val.reshape(cg_out, 128)
 
     put(G_POS, px)
     put(G_POS + 1, py)
@@ -544,7 +555,8 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
                              attr_ref, mat_ref, env_ref,
                              atlas_ref, texmeta_ref, out_ref,
                              *, n_pad, nb, m_pad, width, height, aa_jitter,
-                             single_sided, has_env, with_textures):
+                             single_sided, has_env, with_textures,
+                             rxy=None):
     """Small-scene variant: triangle planes + attribute rows live in
     VMEM (no per-cluster DMA, no culling), the hit matmuls run at a
     wider block size, and — critically — the grid is 1-D over LINEAR
@@ -554,7 +566,7 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
     1080p in layout permutation alone, whether paid as fragmented
     kernel-output DMA or as an XLA transpose."""
     tile_id = pl.program_id(0)
-    b = 8 * 128
+    b = xy_ref.shape[1] * 128  # rays per grid step (tile width)
     x = xy_ref[0, :, :].reshape(b)
     y = xy_ref[1, :, :].reshape(b)
     pix = looper_ref[1].astype(jnp.int32) + tile_id * b + (
@@ -563,7 +575,7 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
     looper = looper_ref[0]
     ox, oy, oz, dx, dy, dz = _raygen(
         cam_ref, looper, x, y, pix, width=width, height=height,
-        aa_jitter=aa_jitter,
+        aa_jitter=aa_jitter, rxy=rxy,
     )
 
     # tris-on-sublanes orientation ([nb, B] hit matrices, like the vis
@@ -1141,13 +1153,26 @@ def _env_tex_tables(has_env, env_tile_rad, with_textures, fused_atlas,
     return env8, atlas, meta_t
 
 
-def _resident_tables(tri_xform, prim_attr):
+def _resident_tables(tri_xform, prim_attr, tile: int = 1024):
     """VMEM-resident geometry tables: tri-major plane table (cols 0:4 xu,
     4:8 xv, 8:12 xw; zero lanes pad to the 128-lane tile) + transposed
-    attribute table, at the wider resident block size."""
+    attribute table, at the wider resident block size.
+
+    `tile` scales the hit-loop block height DOWN as tiles get wider so
+    each [nb, tile] loop intermediate stays ~1 MB (nb * tile ~ 256k
+    lanes): total tri x ray work and op count are nb-invariant, but
+    VMEM peak is nb-proportional (tile 3072 at nb=256 exceeded the
+    16 MB scoped budget, BASELINE round 2)."""
+    import os
+
     n = tri_xform.shape[1] // 3
     n_pad = _round_up(max(n, 128), 128)
-    nb_res = min(256, n_pad)
+    nb_env = int(os.environ.get("RESIDENT_NB", "0"))
+    if nb_env:
+        nb_res = min(nb_env, n_pad)
+    else:
+        nb_res = min(max(64, ((256 * 1024) // max(tile, 1024)) // 64 * 64),
+                     n_pad)
     n_pad_res = _round_up(n_pad, nb_res)
     xu, xv, xw = _split_planes(tri_xform, n_pad_res)
     xpt_res = jnp.concatenate(
@@ -1466,7 +1491,7 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
 def _ris_select_core(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
                      lumaux_ref, tri_lo_ref, light_ref, pix, looper,
                      *, l_pad, k, single_sided, n_area,
-                     has_env, has_met=True):
+                     has_env, has_met=True, rng=None):
     """Lane-batched RIS candidate selection (restir.cu:156-169).
 
     Round-2 profiling (BASELINE.md) showed the K-iteration candidate
@@ -1536,15 +1561,19 @@ def _ris_select_core(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
         return jnp.concatenate([v2] * k, axis=0)
 
     # ---- batched RNG: candidate kk's draws in sublane block kk (same
-    # pcg4d streams as the per-candidate loop / utils.rng)
-    pix_w = wide(pix)
-    blk = jax.lax.broadcasted_iota(jnp.int32, (kb, 128), 0) // cg
-    u1, u2, u3, u4 = _pcg4d(
-        pix_w, jnp.full((kb, 128), looper, jnp.uint32),
-        (_CTR_RIS + blk).astype(jnp.uint32),
-        jnp.full((kb, 128), _SALT_RESTIR, jnp.uint32),
-    )
-    r1w, r2w, r3w, r4w = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
+    # pcg4d streams as the per-candidate loop / utils.rng); the mega-
+    # kernel precomputes these in its whole-kernel batched call (`rng`)
+    if rng is not None:
+        r1w, r2w, r3w, r4w = rng
+    else:
+        pix_w = wide(pix)
+        blk = jax.lax.broadcasted_iota(jnp.int32, (kb, 128), 0) // cg
+        u1, u2, u3, u4 = _pcg4d(
+            pix_w, jnp.full((kb, 128), looper, jnp.uint32),
+            (_CTR_RIS + blk).astype(jnp.uint32),
+            jnp.full((kb, 128), _SALT_RESTIR, jnp.uint32),
+        )
+        r1w, r2w, r3w, r4w = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
 
     # ---- batched inverse-CDF light pick on [L, K*B]
     total_w = wide(total)
@@ -1915,7 +1944,8 @@ def _vis_resident_kernel(gb_ref, rs_ref, xpt_ref,
 
 def _vis_resident_core(gb_ref, rs_vals, xpt_ref, prev_ref, looper, pix,
                        out_ref, win_ref, sem,
-                       *, k, nb, n_pad, window, temporal, temporal_clamp):
+                       *, k, nb, n_pad, window, temporal, temporal_clamp,
+                       r_t=None):
     """Winner visibility (brute over resident plane blocks) + temporal
     merge. `rs_vals` are the RS-pack channels as 1-D [B] arrays."""
     cg = gb_ref.shape[1]
@@ -1993,12 +2023,13 @@ def _vis_resident_core(gb_ref, rs_vals, xpt_ref, prev_ref, looper, pix,
         (r_li_x, r_li_y, r_li_z, r_wi_x, r_wi_y, r_wi_z, r_dist, r_weight,
          r_m),
         window=window, temporal=temporal, temporal_clamp=temporal_clamp,
+        r_t=r_t,
     )
 
 
 def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0, win_ref, sem,
                          looper, pix, res, *, window, temporal,
-                         temporal_clamp):
+                         temporal_clamp, r_t=None):
     """Temporal reuse (restir.cu:180-185; findTemporalNeighbor :21-45) +
     pt-pack write, shared by the streaming and resident vis kernels. The
     caller must have STARTED the window DMA (prev -> win_ref via sem)
@@ -2023,9 +2054,37 @@ def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0, win_ref, sem,
         in_win = (motion >= 0) & (rel >= 0) & (rel < window)
         rel = jnp.where(in_win, rel, 0)
 
-        win_rows = jax.lax.broadcasted_iota(jnp.int32, (window, b), 0)
-        onehot = (win_rows == rel[None, :]).astype(jnp.float32)
-        gathered = dot_exact_b(win_ref[:, :], onehot)  # [PT_CH, B]
+        # Mod-gather: the naive [window, B] one-hot matmul pads PT_CH=16
+        # MXU rows to 128 (8x MAC waste, and a [window, B] f32 one-hot
+        # in VMEM). Instead stack the window's 8 lane-chunks on the
+        # SUBLANE axis (win2[16j+i, t] = win[i, j*cw+t] — a tile-level
+        # rearrangement), gather every chunk at rel %% cw with ONE
+        # [128, cw] @ [cw, B] exact product, then keep only the true
+        # chunk's 16-row block per lane (rel // cw) and block-sum.
+        # All 128 MXU rows are useful and the one-hot shrinks 8x.
+        # Bitwise identical to the padded form: the matmul is an exact
+        # gather (0/1 bf16 one-hot x hi/mid/lo split), masked blocks
+        # contribute exact +0.0. (A coherent-shift pltpu.roll fast path
+        # behind lax.cond measured NO win here: Mosaic evaluates both
+        # branches of in-kernel conds.)
+        nchunk = 8  # 8 * PT_CH = 128 = full MXU M
+        cw = window // nchunk
+        win2 = jnp.concatenate(
+            [win_ref[:, j * cw:(j + 1) * cw] for j in range(nchunk)],
+            axis=0)  # [128, cw]
+        rel_mod = jax.lax.rem(rel, cw)
+        jstar = rel // cw
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cw, b), 0)
+        oh = (rows == rel_mod[None, :]).astype(jnp.bfloat16)
+        wh, wm, wl = _hi_mid_lo(win2)
+        out = _bdot(wh, oh) + (_bdot(wm, oh) + _bdot(wl, oh))  # [128, B]
+        blk_row = jax.lax.broadcasted_iota(
+            jnp.int32, (nchunk * PT_CH, b), 0) // PT_CH
+        out = jnp.where(blk_row == jstar[None, :], out, 0.0)
+        acc = out[0:PT_CH]
+        for j in range(1, nchunk):
+            acc = acc + out[j * PT_CH:(j + 1) * PT_CH]
+        gathered = acc  # [PT_CH, B]
 
         n_li_x, n_li_y, n_li_z = gathered[P_LI], gathered[P_LI + 1], gathered[P_LI + 2]
         n_wi_x, n_wi_y, n_wi_z = gathered[P_WI], gathered[P_WI + 1], gathered[P_WI + 2]
@@ -2058,12 +2117,13 @@ def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0, win_ref, sem,
         n_weight = jnp.where(over, n_weight * scale, n_weight)
         n_m = jnp.where(over, limit_m, n_m)
 
-        u1, _, _, _ = _pcg4d(
-            pix, jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), _CTR_TEMPORAL, jnp.uint32),
-            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
-        )
-        r_t = _unit(u1)
+        if r_t is None:
+            u1, _, _, _ = _pcg4d(
+                pix, jnp.full((b,), looper, jnp.uint32),
+                jnp.full((b,), _CTR_TEMPORAL, jnp.uint32),
+                jnp.full((b,), _SALT_RESTIR, jnp.uint32),
+            )
+            r_t = _unit(u1)
         w_new = jnp.where(ok, r_weight + n_weight, r_weight)
         m_new = jnp.where(ok, r_m + n_m, r_m)
         take = ok & (r_t * w_new < n_weight)
@@ -2580,13 +2640,6 @@ def _di_resident_kernel(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
     The bodies are the exact cores the standalone kernels run (the R1
     stage reads the gb channels back from the just-written output
     block), so parity with the split chain is bitwise."""
-    _gbuffer_kernel_resident(
-        cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref, attr_ref,
-        mat_ref, env_ref, atlas_ref, texmeta_ref, gb_ref,
-        n_pad=n_pad, nb=nb, m_pad=m_pad, width=width, height=height,
-        aa_jitter=aa_jitter, single_sided=single_sided, has_env=has_env,
-        with_textures=with_textures,
-    )
     cg = gb_ref.shape[1]
     b = cg * 128
     tile_id = pl.program_id(0)
@@ -2594,17 +2647,51 @@ def _di_resident_kernel(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
         jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
     )
     looper = looper_ref[0]
+
+    # ONE sublane-batched pcg4d for every RNG consumer in the kernel
+    # (pcg4d is an elementwise hash, so batching preserves each
+    # consumer's stream bit for bit). Separate calls cost ~9 ms/frame
+    # EACH at 1080p in per-op dispatch on the ~25-op 1-D chain; blocks:
+    # 0..k-1 = RIS candidates, k = camera jitter, k+1 = temporal draw.
+    pix2 = pix.reshape(cg, 128).astype(jnp.uint32)
+    tot = (k + 2) * cg
+    pix_all = jnp.concatenate([pix2] * (k + 2), axis=0)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (tot, 128), 0) // cg
+    ctr = jnp.where(
+        blk < k, _CTR_RIS + blk,
+        jnp.where(blk == k, 0, _CTR_TEMPORAL),
+    ).astype(jnp.uint32)
+    salt = jnp.where(
+        blk == k, _SALT_CAMERA, _SALT_RESTIR
+    ).astype(jnp.uint32)
+    u1, u2, u3, u4 = _pcg4d(
+        pix_all, jnp.full((tot, 128), looper, jnp.uint32), ctr, salt
+    )
+    kb = k * cg
+    rng_ris = (_unit(u1[:kb]), _unit(u2[:kb]), _unit(u3[:kb]),
+               _unit(u4[:kb]))
+    rxy = (_unit(u1[kb:kb + cg]).reshape(b),
+           _unit(u2[kb:kb + cg]).reshape(b)) if aa_jitter else None
+    r_t = _unit(u1[kb + cg:]).reshape(b) if temporal else None
+
+    _gbuffer_kernel_resident(
+        cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref, attr_ref,
+        mat_ref, env_ref, atlas_ref, texmeta_ref, gb_ref,
+        n_pad=n_pad, nb=nb, m_pad=m_pad, width=width, height=height,
+        aa_jitter=aa_jitter, single_sided=single_sided, has_env=has_env,
+        with_textures=with_textures, rxy=rxy,
+    )
     sel = _ris_select_core(
         gb_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumaux_ref, tri_lo_ref,
         light_ref, pix, looper, l_pad=l_pad, k=k,
         single_sided=single_sided, n_area=n_area, has_env=has_env,
-        has_met=has_met,
+        has_met=has_met, rng=rng_ris,
     )
     rs_vals = tuple(v.reshape(b) for v in sel)
     _vis_resident_core(
         gb_ref, rs_vals, xpt_ref, prev_ref, looper, pix, pt_ref,
         win_ref, sem, k=k, nb=nb, n_pad=n_pad, window=window,
-        temporal=temporal, temporal_clamp=temporal_clamp,
+        temporal=temporal, temporal_clamp=temporal_clamp, r_t=r_t,
     )
 
 
@@ -2639,11 +2726,14 @@ def di_resident_pallas(
     assert r % tile == 0, (r, tile)
     assert tile % 128 == 0, tile  # tg = tile // 128 must cover the tile
     assert window >= 2 * tile or not temporal, (window, tile)
+    # mod-gather chunks the window 8-ways on sublanes; each chunk's
+    # lane slice must be 128-aligned and 128-wide
+    assert window % 1024 == 0, window
     env8, atlas, meta_t = _env_tex_tables(
         has_env, env_tile_rad, with_textures, fused_atlas, fused_tex_meta
     )
     xpt_res, attr_res, nb_res, n_pad_res = _resident_tables(
-        tri_xform, prim_attr
+        tri_xform, prim_attr, tile=tile
     )
     m = mat_attr.shape[0]
     m_pad = _round_up(m, 8)
@@ -2982,12 +3072,22 @@ def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
         for j in range(1, neighbors):
             a_m = a_m + blk(m_masked, j)
 
-        u1, _, _, _ = _pcg4d(
-            pix, jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), _CTR_SPATIAL, jnp.uint32),
-            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
+        # ONE batched pcg4d for both spatial draws (selection +
+        # self-merge) — elementwise hash, so each stream is bit-
+        # identical to the separate calls it replaces; the second 1-D
+        # ~25-op chain cost ~4 ms/frame at 1080p in per-op dispatch.
+        pix2s = pix.reshape(cg, 128)
+        blk2 = jax.lax.broadcasted_iota(jnp.int32, (2 * cg, 128), 0) // cg
+        ctr2 = jnp.where(
+            blk2 == 0, _CTR_SPATIAL, _CTR_SPATIAL + neighbors
+        ).astype(jnp.uint32)
+        su1, _, _, _ = _pcg4d(
+            jnp.concatenate([pix2s] * 2, axis=0),
+            jnp.full((2 * cg, 128), looper, jnp.uint32), ctr2,
+            jnp.full((2 * cg, 128), _SALT_RESTIR, jnp.uint32),
         )
-        thresh = _unit(u1).reshape(cg, 128) * a_weight
+        r_merge_draw = _unit(su1[cg:]).reshape(b)
+        thresh = _unit(su1[:cg]) * a_weight
         jsel = jnp.zeros_like(a_weight)
         for cj in cums:
             jsel = jsel + (cj <= thresh).astype(jnp.float32)
@@ -3021,12 +3121,7 @@ def _spatial_kernel(off_ref, gb_ref, pt_self_ref, pt_hbm_ref, acc_in_ref,
         a_bad = jnp.isnan(a_weight) | jnp.isinf(a_weight) | (a_weight < 0.0)
         s_bad = jnp.isnan(r_weight) | jnp.isinf(r_weight) | (r_weight < 0.0)
         ok = ~a_bad & ~s_bad & shade
-        u1, _, _, _ = _pcg4d(
-            pix, jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), _CTR_SPATIAL + neighbors, jnp.uint32),
-            jnp.full((b,), _SALT_RESTIR, jnp.uint32),
-        )
-        r_s = _unit(u1)
+        r_s = r_merge_draw
         w_new = jnp.where(ok, r_weight + a_weight, r_weight)
         m_new = jnp.where(ok, r_m + a_m, r_m)
         take = ok & (r_s * w_new < a_weight)

@@ -634,10 +634,17 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
     best_dist, best_prim, best_u, best_v = jax.lax.fori_loop(
         0, n_pad // nb, body, init
     )
-    # winner attribute fetch: [ATTR_COLS, n_pad] @ one-hot [n_pad, B]
-    prow = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
-    oh_prim = (prow == best_prim[None, :]).astype(jnp.float32)
-    at = dot_exact_b(attr_ref[:, :], oh_prim)  # [ATTR_COLS, B]
+    # winner attribute fetch: full-M mod-gather when the tri axis
+    # chunks 128-wide (saves the ATTR_COLS->128 M-pad waste), else the
+    # plain one-hot product
+    nchunk_a = n_pad // 128
+    if nchunk_a > 1 and ATTR_COLS * nchunk_a <= 256 \
+            and n_pad % (128 * nchunk_a) == 0:
+        at = _gather_cols_exact(attr_ref[:, :], best_prim, nchunk_a)
+    else:
+        prow = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
+        oh_prim = (prow == best_prim[None, :]).astype(jnp.float32)
+        at = dot_exact_b(attr_ref[:, :], oh_prim)  # [ATTR_COLS, B]
     _gbuffer_epilogue(
         out_ref, lcam_ref, mat_ref, best_dist, best_prim, best_u, best_v,
         at, x, y, ox, oy, oz, dx, dy, dz,
@@ -1151,6 +1158,37 @@ def _env_tex_tables(has_env, env_tile_rad, with_textures, fused_atlas,
         atlas = jnp.zeros((384, 128), jnp.float32)
         meta_t = jnp.zeros((8, 8), jnp.float32)
     return env8, atlas, meta_t
+
+
+def _gather_cols_exact(table, idx, nchunk):
+    """Exact per-lane column gather out[c, i] = table[c, idx[i]] via the
+    full-M mod-gather (same trick as the temporal gather in
+    _temporal_merge_pack): the table's cols/nchunk-wide column chunks
+    stack on SUBLANES, every chunk is gathered at idx %% cw with ONE
+    [C*nchunk, cw] @ [cw, B] exact product (0/1 bf16 one-hot x
+    hi/mid/lo split), and the true chunk's C-row block (idx // cw) is
+    masked + block-summed. vs the naive [C->128, n] one-hot form this
+    wastes no MXU M rows. Out-of-range idx (NULL primitives) gathers
+    exact 0.0, matching the naive form. Constraints: table cols %
+    nchunk == 0 with cw % 128 == 0, and C * nchunk <= 256 (larger
+    vector ops SIGABRT the TPU compiler — BASELINE round 5)."""
+    C = table.shape[0]
+    cw = table.shape[1] // nchunk
+    b = idx.shape[0]
+    t2 = jnp.concatenate(
+        [table[:, j * cw:(j + 1) * cw] for j in range(nchunk)], axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cw, b), 0)
+    oh = (rows == jax.lax.rem(idx, cw)[None, :]).astype(jnp.bfloat16)
+    th, tm, tl = _hi_mid_lo(t2)
+    out = _bdot(th, oh) + (_bdot(tm, oh) + _bdot(tl, oh))
+    jstar = idx // cw
+    blk_row = jax.lax.broadcasted_iota(
+        jnp.int32, (C * nchunk, b), 0) // C
+    out = jnp.where(blk_row == jstar[None, :], out, 0.0)
+    acc = out[0:C]
+    for j in range(1, nchunk):
+        acc = acc + out[j * C:(j + 1) * C]
+    return acc
 
 
 def _resident_tables(tri_xform, prim_attr, tile: int = 1024):

@@ -486,6 +486,8 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
         0.0,
     )
 
+    vals = [None] * GB_CH
+
     if out_ref.ndim == 5:
         # streaming path: 5-D tile-blocked pack [GB_CH, 1, 1, 8, 128].
         # Per-tile output blocks must be CONTIGUOUS in HBM or the block
@@ -495,11 +497,10 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
         def put(i, val):
             out_ref[i, 0, 0, :, :] = val.reshape(8, 128)
     else:
-        # resident path: linear-pixel tiles write the pack directly
-        cg_out = out_ref.shape[1]
-
+        # resident path: channel values collect into ONE stacked store
+        # at the end (24 separate stores pay 24 op dispatches)
         def put(i, val):
-            out_ref[i, :, :] = val.reshape(cg_out, 128)
+            vals[i] = val
 
     put(G_POS, px)
     put(G_POS + 1, py)
@@ -549,6 +550,10 @@ def _gbuffer_epilogue(out_ref, lcam_ref, mat_ref, best_dist, best_prim,
     put(G_PRIM, jnp.where(valid, best_prim.astype(jnp.float32), _NULL))
     put(G_X, x)
     put(G_Y, y)
+    if out_ref.ndim != 5:
+        cg_out = out_ref.shape[1]
+        out_ref[:, :, :] = jnp.stack(vals, axis=0).reshape(
+            GB_CH, cg_out, 128)
 
 
 def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
@@ -2180,25 +2185,23 @@ def _temporal_merge_pack(gb_ref, out_ref, prev_ref, w0, win_ref, sem,
     r_weight = jnp.where(bad, 0.0, r_weight)
     r_m = jnp.where(bad, 0.0, r_m)
 
-    def put(i, val):
-        out_ref[i, :, :] = val.reshape(cg, 128)
-
-    put(P_LI, r_li_x)
-    put(P_LI + 1, r_li_y)
-    put(P_LI + 2, r_li_z)
-    put(P_WI, r_wi_x)
-    put(P_WI + 1, r_wi_y)
-    put(P_WI + 2, r_wi_z)
-    put(P_DIST, r_dist)
-    put(P_WEIGHT, r_weight)
-    put(P_M, r_m)
-    put(P_PRIMR, ch(G_PRIMR))
-    put(P_NORM, ch(G_NORM))
-    put(P_NORM + 1, ch(G_NORM + 1))
-    put(P_NORM + 2, ch(G_NORM + 2))
-    put(P_DEPTH, ch(G_DEPTH))
-    put(14, jnp.zeros_like(r_weight))
-    put(15, jnp.zeros_like(r_weight))
+    # ONE stacked store for the whole pt pack (16 separate channel
+    # stores pay 16 op dispatches; PT channel order per the P_* layout)
+    zero = jnp.zeros_like(r_weight)
+    vals = [None] * PT_CH
+    vals[P_LI], vals[P_LI + 1], vals[P_LI + 2] = r_li_x, r_li_y, r_li_z
+    vals[P_WI], vals[P_WI + 1], vals[P_WI + 2] = r_wi_x, r_wi_y, r_wi_z
+    vals[P_DIST] = r_dist
+    vals[P_WEIGHT] = r_weight
+    vals[P_M] = r_m
+    vals[P_PRIMR] = ch(G_PRIMR)
+    vals[P_NORM] = ch(G_NORM)
+    vals[P_NORM + 1] = ch(G_NORM + 1)
+    vals[P_NORM + 2] = ch(G_NORM + 2)
+    vals[P_DEPTH] = ch(G_DEPTH)
+    vals[14] = zero
+    vals[15] = zero
+    out_ref[:, :, :] = jnp.stack(vals, axis=0).reshape(PT_CH, cg, 128)
 
 
 def _ray_cluster_crossing(o3, d3, tmax, live, tile, cluster_lo, cluster_hi,

@@ -33,7 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect_kernel import (
     ATTR_COLS,
     MAT_COLS,
+    _bdot,
     _hi_lo,
+    _hi_mid_lo,
     dot_exact_b,
     dot_f32x3,
 )
@@ -499,6 +501,14 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         return dot_exact_b(attr_ref[:, :], ohf)  # [ATTR_COLS, B]
 
     def fetch_attr(prim):
+        # full-M mod-gather when the tri axis chunks 128-wide (saves
+        # the ATTR_COLS->128 MXU M-pad waste; see
+        # fused_di._gather_cols_exact), else the plain one-hot product
+        nchunk_a = n_pad // 128
+        if nchunk_a > 1 and ATTR_COLS * nchunk_a <= 256:
+            from .fused_di import _gather_cols_exact
+
+            return _gather_cols_exact(attr_ref[:, :], prim, nchunk_a)
         return fetch_attr_oh(_cat([
             (row_np == prim[c:c + hb][None, :]).astype(jnp.float32)
             for c in range(0, b, hb)], axis=1))  # [ATTR_COLS, B]
@@ -528,6 +538,36 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
 
     upix = pix.astype(jnp.uint32)
 
+    # ONE sublane-batched pcg4d for every bounce's two draw sets (NEE
+    # 4-D + BSDF 3-D): pcg4d is an elementwise hash, so batching keeps
+    # each stream bit-identical to the separate calls it replaces —
+    # which cost ~7-9 ms/frame EACH at 1080p in Mosaic per-op dispatch
+    # on the ~25-op 1-D chain (fused_di round-5 finding). Counter
+    # layout: block (d_i - d_lo)*2 + stage == ctr - (_CTR_PATH +
+    # (d_lo-1)*2), i.e. consecutive counters across blocks.
+    nblk = 2 * (d_hi - d_lo + 1)
+    if nblk * cg <= 256:  # >256-sublane vector ops SIGABRT the compiler
+        pix2 = upix.reshape(cg, 128)
+        pix_all = jnp.concatenate([pix2] * nblk, axis=0)
+        blk_i = jax.lax.broadcasted_iota(
+            jnp.int32, (nblk * cg, 128), 0) // cg
+        ctr_all = (_CTR_PATH + (d_lo - 1) * 2 + blk_i).astype(jnp.uint32)
+        ru = _pcg4d(
+            pix_all, jnp.full((nblk * cg, 128), looper, jnp.uint32),
+            ctr_all, jnp.full((nblk * cg, 128), _SALT_GI, jnp.uint32))
+
+        def rng_blk(idx, _ru=ru):
+            sl = slice(idx * cg, (idx + 1) * cg)
+            return tuple(_unit(u[sl]).reshape(b) for u in _ru)
+    else:
+        def rng_blk(idx):
+            ctr = _CTR_PATH + (d_lo - 1) * 2 + idx
+            u = _pcg4d(
+                upix, jnp.full((b,), looper, jnp.uint32),
+                jnp.full((b,), ctr, jnp.uint32),
+                jnp.full((b,), _SALT_GI, jnp.uint32))
+            return tuple(_unit(x) for x in u)
+
     for d_i in range(d_lo, d_hi + 1):
         first = d_i == 1
         delta_bsdf = mtype == _DIELECTRIC
@@ -540,15 +580,9 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         if first:
             nvx, nvy, nvz = nx, ny, nz
 
-        ctr = _CTR_PATH + (d_i - 1) * 2
         if not first and "nee" not in dbg:
             # ---- NEE (restir.cu:290-300): alias light sample + shadow
-            u1, u2, u3, u4 = _pcg4d(
-                upix, jnp.full((b,), looper, jnp.uint32),
-                jnp.full((b,), ctr, jnp.uint32),
-                jnp.full((b,), _SALT_GI, jnp.uint32),
-            )
-            r1, r2, r3, r4 = _unit(u1), _unit(u2), _unit(u3), _unit(u4)
+            r1, r2, r3, r4 = rng_blk((d_i - d_lo) * 2)
             shade_nee = alive & (~delta_bsdf)
             pass_id = jnp.minimum(
                 (r1 * float(n_lights)).astype(jnp.int32), n_lights - 1
@@ -613,12 +647,7 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
                 )
 
         # ---- BSDF bounce (restir.cu:302-325; ops/bsdf.sample_bsdf)
-        u1, u2, u3, _ = _pcg4d(
-            upix, jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), ctr + 1, jnp.uint32),
-            jnp.full((b,), _SALT_GI, jnp.uint32),
-        )
-        b1, b2, b3 = _unit(u1), _unit(u2), _unit(u3)
+        b1, b2, b3, _ = rng_blk((d_i - d_lo) * 2 + 1)
         lam_x, lam_y, lam_z = _cosine_hemisphere(nx, ny, nz, b1, b2)
         # material-set specialization (cfg.scene_has_metallic /
         # scene_has_dielectric): lockstep lanes pay the UNION of all
@@ -830,8 +859,12 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
         roughness = nmat[5]
         ior = nmat[6]
 
+    # ONE stacked store for the whole state pack (ST_CH separate
+    # channel stores pay ST_CH op dispatches)
+    vals = [None] * ST_CH
+
     def put(i, val):
-        out_ref[i, :, :] = val.reshape(cg, 128)
+        vals[i] = val
 
     put(ST_LO, lo[0])
     put(ST_LO + 1, lo[1])
@@ -867,6 +900,10 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
     put(ST_THR, thr[0])
     put(ST_THR + 1, thr[1])
     put(ST_THR + 2, thr[2])
+    for i in range(ST_CH):
+        if vals[i] is None:
+            vals[i] = jnp.zeros((b,), jnp.float32)
+    out_ref[:, :, :] = jnp.stack(vals, axis=0).reshape(ST_CH, cg, 128)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1092,12 +1129,22 @@ def _gi_resolve_kernel(go_ref, in_ref, gq_ref, prev_ref,
     # (restir.cu:375-385; restir.h:38-44 with M 0 -> 1)
     w = lum / jnp.maximum(prim_pdf, 1e-20)
     w = jnp.where(_bad(w) | (w < 0.0) | ~valid, 0.0, w)
-    u1, _, _, _ = _pcg4d(
-        pix, jnp.full((b,), looper, jnp.uint32),
-        jnp.full((b,), _CTR_UPDATE, jnp.uint32),
-        jnp.full((b,), _SALT_GI, jnp.uint32),
+    # ONE batched pcg4d for both resolve draws (update + temporal) —
+    # elementwise hash, streams bit-identical to the separate calls
+    # (each ~25-op 1-D chain costs ~7-9 ms/frame at 1080p in per-op
+    # dispatch); _CTR_UPDATE=0 / _CTR_TEMPORAL=1 are consecutive.
+    cg_ = b // 128
+    pix2 = pix.reshape(cg_, 128)
+    blk2 = jax.lax.broadcasted_iota(jnp.int32, (2 * cg_, 128), 0) // cg_
+    bu1, _, _, _ = _pcg4d(
+        jnp.concatenate([pix2] * 2, axis=0),
+        jnp.full((2 * cg_, 128), looper, jnp.uint32),
+        (_CTR_UPDATE + blk2).astype(jnp.uint32),
+        jnp.full((2 * cg_, 128), _SALT_GI, jnp.uint32),
     )
-    take0 = _unit(u1) * w < w  # empty reservoir: take iff w > 0
+    r_upd = _unit(bu1[:cg_]).reshape(b)
+    r_temp = _unit(bu1[cg_:]).reshape(b)
+    take0 = r_upd * w < w  # empty reservoir: take iff w > 0
     zero = jnp.zeros_like(w)
     s_lx = jnp.where(take0, lx, zero)
     s_ly = jnp.where(take0, ly, zero)
@@ -1130,9 +1177,36 @@ def _gi_resolve_kernel(go_ref, in_ref, gq_ref, prev_ref,
         in_win = (motion >= 0) & (rel >= 0) & (rel < window)
         rel = jnp.where(in_win, rel, 0)
         dma.wait()
-        win_rows = jax.lax.broadcasted_iota(jnp.int32, (window, b), 0)
-        onehot = (win_rows == rel[None, :]).astype(jnp.float32)
-        gathered = dot_exact_b(win_ref[:, :], onehot)  # [Q_CH, B]
+        # full-M mod-gather (see fused_di._temporal_merge_pack): the
+        # window's lane-chunks stack on sublanes so the MXU M dim is
+        # Q_CH*nchunk instead of Q_CH padded to 128; bitwise equal to
+        # the padded one-hot form (exact 0/1 bf16 x hi/mid/lo product,
+        # masked blocks contribute exact +0.0)
+        nchunk = next(
+            (n for n in (8, 4, 2)
+             if window % (n * 128) == 0 and Q_CH * n <= 256), 1)
+        if nchunk > 1:
+            cw = window // nchunk
+            win2 = jnp.concatenate(
+                [win_ref[:, j * cw:(j + 1) * cw] for j in range(nchunk)],
+                axis=0)  # [Q_CH*nchunk, cw]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (cw, b), 0)
+            oh = (rows == jax.lax.rem(rel, cw)[None, :]).astype(
+                jnp.bfloat16)
+            wh, wm, wl = _hi_mid_lo(win2)
+            outg = _bdot(wh, oh) + (_bdot(wm, oh) + _bdot(wl, oh))
+            jstar = rel // cw
+            blk_row = jax.lax.broadcasted_iota(
+                jnp.int32, (Q_CH * nchunk, b), 0) // Q_CH
+            outg = jnp.where(blk_row == jstar[None, :], outg, 0.0)
+            gathered = outg[0:Q_CH]
+            for j in range(1, nchunk):
+                gathered = gathered + outg[j * Q_CH:(j + 1) * Q_CH]
+        else:
+            win_rows = jax.lax.broadcasted_iota(
+                jnp.int32, (window, b), 0)
+            onehot = (win_rows == rel[None, :]).astype(jnp.float32)
+            gathered = dot_exact_b(win_ref[:, :], onehot)  # [Q_CH, B]
 
         n_w = gathered[Q_W]
         n_m = gathered[Q_M]
@@ -1145,12 +1219,7 @@ def _gi_resolve_kernel(go_ref, in_ref, gq_ref, prev_ref,
         ok &= jnp.abs(gathered[Q_DEPTH] - depth) <= depth * 0.1
         ok &= ~(_bad(n_w) | (n_w < 0.0))  # ~invalid(temporal)
 
-        u1, _, _, _ = _pcg4d(
-            pix, jnp.full((b,), looper, jnp.uint32),
-            jnp.full((b,), _CTR_TEMPORAL, jnp.uint32),
-            jnp.full((b,), _SALT_GI, jnp.uint32),
-        )
-        r_t = _unit(u1)
+        r_t = r_temp
         w_new = jnp.where(ok, r_w + n_w, r_w)
         m_new = jnp.where(ok, r_m + n_m, r_m)
         take = ok & (r_t * w_new < n_w)

@@ -641,13 +641,15 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
     )
     # winner attribute fetch: full-M mod-gather when the tri axis
     # chunks 128-wide (saves the ATTR_COLS->128 M-pad waste), else the
-    # plain one-hot product
-    nchunk_a = n_pad // 128
+    # plain one-hot product. The attr table is 128-granular (its own
+    # a_pad) while the hit tables are 64-granular.
+    a_pad = attr_ref.shape[1]
+    nchunk_a = a_pad // 128
     if nchunk_a > 1 and ATTR_COLS * nchunk_a <= 256 \
-            and n_pad % (128 * nchunk_a) == 0:
+            and a_pad % (128 * nchunk_a) == 0:
         at = _gather_cols_exact(attr_ref[:, :], best_prim, nchunk_a)
     else:
-        prow = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b), 0)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (a_pad, b), 0)
         oh_prim = (prow == best_prim[None, :]).astype(jnp.float32)
         at = dot_exact_b(attr_ref[:, :], oh_prim)  # [ATTR_COLS, B]
     _gbuffer_epilogue(
@@ -1209,25 +1211,36 @@ def _resident_tables(tri_xform, prim_attr, tile: int = 1024):
     import os
 
     n = tri_xform.shape[1] // 3
-    n_pad = _round_up(max(n, 128), 128)
+    # 64-granular padding: the hit/vis loops are linear in padded rows
+    # (a 426-tri scene pays 448 rows instead of 512); nb = the padded
+    # count split into <=256-row blocks (>256-sublane lane-broadcasts
+    # SIGABRT the TPU compiler — BASELINE round 5)
+    n_pad = _round_up(max(n, 128), 64)
     nb_env = int(os.environ.get("RESIDENT_NB", "0"))
     if nb_env:
         nb_res = min(nb_env, n_pad)
     else:
-        nb_res = min(max(64, ((256 * 1024) // max(tile, 1024)) // 64 * 64),
-                     n_pad)
+        cap = min(max(64, ((256 * 1024) // max(tile, 1024)) // 64 * 64),
+                  n_pad)
+        k_blocks = -(-n_pad // cap)
+        while n_pad % k_blocks or (n_pad // k_blocks) % 8:
+            k_blocks += 1
+        nb_res = n_pad // k_blocks
     n_pad_res = _round_up(n_pad, nb_res)
     xu, xv, xw = _split_planes(tri_xform, n_pad_res)
     xpt_res = jnp.concatenate(
         [xu, xv, xw, jnp.zeros((116, n_pad_res), xu.dtype)], axis=0).T
+    # attr table at its own 128-granular pad (the mod-gather fetch
+    # needs 128-wide chunks; the hit loop doesn't read it)
+    a_pad = _round_up(n_pad_res, 128)
     attr_res = prim_attr
-    if n_pad_res != attr_res.shape[0]:
+    if a_pad != attr_res.shape[0]:
         attr_res = jnp.concatenate([
             attr_res,
-            jnp.zeros((n_pad_res - attr_res.shape[0], ATTR_COLS),
+            jnp.zeros((a_pad - attr_res.shape[0], ATTR_COLS),
                       attr_res.dtype),
         ])
-    attr_res = attr_res.T  # [ATTR_COLS, n_pad_res]
+    attr_res = attr_res.T  # [ATTR_COLS, a_pad]
     return xpt_res, attr_res, nb_res, n_pad_res
 
 
@@ -1308,7 +1321,7 @@ def gbuffer_pack_pallas(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_pad_res, 128), full1,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ATTR_COLS, n_pad_res), full1,
+                pl.BlockSpec((ATTR_COLS, attr_res.shape[1]), full1,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((MAT_COLS, m_pad), full1, memory_space=pltpu.VMEM),
                 pl.BlockSpec(env8.shape, full1, memory_space=pltpu.VMEM),
@@ -2815,7 +2828,7 @@ def di_resident_pallas(
             pl.BlockSpec((2, tg, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_pad_res, 128), full1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ATTR_COLS, n_pad_res), full1,
+            pl.BlockSpec((ATTR_COLS, attr_res.shape[1]), full1,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((MAT_COLS, m_pad), full1, memory_space=pltpu.VMEM),
             pl.BlockSpec(env8.shape, full1, memory_space=pltpu.VMEM),

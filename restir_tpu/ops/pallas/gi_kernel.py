@@ -324,7 +324,7 @@ def _sample_vndf(nx, ny, nz, wox, woy, woz, alpha, rx, ry):
 
 def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
                      attr_ref, mat_ref, light_ref, scal_ref, out_ref,
-                     *, n_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
+                     *, n_pad, a_pad, m_pad, l_pad, n_lights, d_lo, d_hi,
                      single_sided, hit_fma=False, has_met=True,
                      has_die=True, has_proc=True, dbg=()):
     # dbg: prof-only decomposition knobs (prof/prof_gi_depth.py) —
@@ -367,12 +367,17 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
     if hit_fma:
         # VPU-FMA plane projections over the TRI-MAJOR table (the DI
         # kernels' hit-test form, fused_di._vis_sorted_kernel): exact
-        # f32, no bf16 splits, no K=4-padded MXU passes. MEASURED SLOWER
-        # here than the 3-pass dots (287 vs 246 ms at 1080p depth 5,
-        # prof/prof_gi_tile.py): the GI hit tests project against the
-        # whole resident [n_pad, hb] slab, where 6 MXU dots beat ~21
-        # n_pad-row VPU broadcast chains — unlike the DI vis kernel's
-        # per-flush [256, B] form. Kept for A/B; default OFF.
+        # f32, no bf16 splits, no K=4-padded MXU passes. At n_pad=128
+        # (cornell) the 6 MXU dots measured FASTER (287 vs 246 ms,
+        # prof/prof_gi_tile.py) — FMA op count is flat in n_pad blocks
+        # while dot MACs grow linearly, so FMA wins back at bench-class
+        # tri counts (448 rows: re-measure per scene). Broadcast blocks
+        # are chunked to <= 256 sublanes (larger lane-broadcasts
+        # SIGABRT the TPU compiler — BASELINE round 5).
+        fma_blk = n_pad
+        while fma_blk > 256 or n_pad % fma_blk:
+            fma_blk = n_pad // (n_pad // fma_blk + 1)
+
         def _proj6(o3sl, d3sl, hb_):
             oxr = o3sl[0].reshape(1, hb_)
             oyr = o3sl[1].reshape(1, hb_)
@@ -381,17 +386,27 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
             dyr = d3sl[1].reshape(1, hb_)
             dzr = d3sl[2].reshape(1, hb_)
 
-            def bcp(lo):
-                return jnp.broadcast_to(
-                    xpt_ref[:, lo:lo + 1], (n_pad, hb_))
+            parts = ([], [], [], [], [], [])
+            for r0 in range(0, n_pad, fma_blk):
+                xp = xpt_ref[r0:r0 + fma_blk, :]
 
-            oou = bcp(0) * oxr + bcp(1) * oyr + bcp(2) * ozr + bcp(3)
-            oov = bcp(4) * oxr + bcp(5) * oyr + bcp(6) * ozr + bcp(7)
-            oow = bcp(8) * oxr + bcp(9) * oyr + bcp(10) * ozr + bcp(11)
-            ddu = bcp(0) * dxr + bcp(1) * dyr + bcp(2) * dzr
-            ddv = bcp(4) * dxr + bcp(5) * dyr + bcp(6) * dzr
-            ddw = bcp(8) * dxr + bcp(9) * dyr + bcp(10) * dzr
-            return oou, oov, oow, ddu, ddv, ddw
+                def bcp(lo, _xp=xp):
+                    return jnp.broadcast_to(
+                        _xp[:, lo:lo + 1], (fma_blk, hb_))
+
+                parts[0].append(bcp(0) * oxr + bcp(1) * oyr
+                                + bcp(2) * ozr + bcp(3))
+                parts[1].append(bcp(4) * oxr + bcp(5) * oyr
+                                + bcp(6) * ozr + bcp(7))
+                parts[2].append(bcp(8) * oxr + bcp(9) * oyr
+                                + bcp(10) * ozr + bcp(11))
+                parts[3].append(bcp(0) * dxr + bcp(1) * dyr
+                                + bcp(2) * dzr)
+                parts[4].append(bcp(4) * dxr + bcp(5) * dyr
+                                + bcp(6) * dzr)
+                parts[5].append(bcp(8) * dxr + bcp(9) * dyr
+                                + bcp(10) * dzr)
+            return tuple(_cat(p) for p in parts)
     else:
         # plane hi/lo splits hoisted once per tile ([n_pad, 4] operands)
         xu_t = _hi_lo(xu_ref[:, :].T)
@@ -497,20 +512,27 @@ def _gi_trace_kernel(looper_ref, st_ref, xu_ref, xv_ref, xw_ref, xpt_ref,
 
     def fetch_attr_oh(ohf):
         # winner one-hot [n_pad, B] f32 comes straight from trace()'s
-        # argmin (no rebuild — the [n_pad, B] compare is ~0.8 ms/frame)
+        # argmin (no rebuild — the [n_pad, B] compare is ~0.8 ms/frame).
+        # The attr table is 128-granular (a_pad) while the hit tables
+        # are 64-granular (n_pad): pad the one-hot's dead rows.
+        if a_pad != n_pad:
+            ohf = jnp.concatenate(
+                [ohf, jnp.zeros((a_pad - n_pad, ohf.shape[1]),
+                                ohf.dtype)])
         return dot_exact_b(attr_ref[:, :], ohf)  # [ATTR_COLS, B]
 
     def fetch_attr(prim):
         # full-M mod-gather when the tri axis chunks 128-wide (saves
         # the ATTR_COLS->128 MXU M-pad waste; see
         # fused_di._gather_cols_exact), else the plain one-hot product
-        nchunk_a = n_pad // 128
+        nchunk_a = a_pad // 128
         if nchunk_a > 1 and ATTR_COLS * nchunk_a <= 256:
             from .fused_di import _gather_cols_exact
 
             return _gather_cols_exact(attr_ref[:, :], prim, nchunk_a)
-        return fetch_attr_oh(_cat([
-            (row_np == prim[c:c + hb][None, :]).astype(jnp.float32)
+        row_a = jax.lax.broadcasted_iota(jnp.int32, (a_pad, hb), 0)
+        return dot_exact_b(attr_ref[:, :], _cat([
+            (row_a == prim[c:c + hb][None, :]).astype(jnp.float32)
             for c in range(0, b, hb)], axis=1))  # [ATTR_COLS, B]
 
     def fetch_mat(mid):
@@ -936,7 +958,11 @@ def gi_trace_pallas(
 
     g_in = in_pack.shape[1]
     n_tri = tri_xform.shape[1] // 3
-    n_pad = _round_up(max(n_tri, 128), 128)
+    # 64-granular padding: geometry cost is linear in padded rows and
+    # the brute traversals are ~85% of this kernel on bench-class
+    # scenes (BASELINE r5) — a 426-tri scene at 128-granularity pays
+    # 512 rows (17% waste), at 64 only 448
+    n_pad = _round_up(max(n_tri, 128), 64)
     assert n_pad <= 1024, "fused GI is for VMEM-resident scenes"
     if tile <= 0:
         tile = min(1024, _round_up(g_in * 128, 128))
@@ -954,7 +980,8 @@ def gi_trace_pallas(
     # 8:12 xw; zero lanes pad to the 128 tile anyway)
     xpt = jnp.concatenate(
         [xu, xv, xw, jnp.zeros((116, n_pad), xu.dtype)], axis=0).T
-    attr_t = jnp.zeros((ATTR_COLS, n_pad), jnp.float32)
+    a_pad = _round_up(n_pad, 128)
+    attr_t = jnp.zeros((ATTR_COLS, a_pad), jnp.float32)
     attr_t = attr_t.at[:, :prim_attr.shape[0]].set(
         prim_attr.T.astype(jnp.float32)
     )
@@ -1012,7 +1039,7 @@ def gi_trace_pallas(
             break
         d1 = min(d0 + int(gsz) - 1, depth)
         kern = functools.partial(
-            _gi_trace_kernel, n_pad=n_pad, m_pad=m_pad, l_pad=l_pad,
+            _gi_trace_kernel, n_pad=n_pad, a_pad=a_pad, m_pad=m_pad, l_pad=l_pad,
             n_lights=n_lights, d_lo=d0, d_hi=d1,
             single_sided=single_sided, hit_fma=hit_fma,
             has_met=has_met, has_die=has_die, has_proc=has_proc,
@@ -1031,7 +1058,7 @@ def gi_trace_pallas(
                 pl.BlockSpec((4, n_pad), full_p, memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_pad, 128), full_p,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ATTR_COLS, n_pad), full_p,
+                pl.BlockSpec((ATTR_COLS, a_pad), full_p,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((MAT_COLS, m_pad), full_p,
                              memory_space=pltpu.VMEM),

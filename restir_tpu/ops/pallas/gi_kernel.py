@@ -936,7 +936,7 @@ def gi_trace_pallas(
     light_prob, light_alias, light_prim_ids, light_radiance,
     sum_light_power_inv,
     depth: int = 5, single_sided: bool = True, n_lights: int = 1,
-    pix0=0, tile: int = 0, groups=None, hit_fma: bool = False,
+    pix0=0, tile: int = 0, groups=None, hit_fma=None,
     has_met: bool = True, has_die: bool = True, has_proc: bool = True,
     dbg=(), interpret: bool = False,
 ):
@@ -964,6 +964,17 @@ def gi_trace_pallas(
     # 512 rows (17% waste), at 64 only 448
     n_pad = _round_up(max(n_tri, 128), 64)
     assert n_pad <= 1024, "fused GI is for VMEM-resident scenes"
+    if hit_fma is None:
+        # chunked VPU-FMA hit tests by default: (a) FASTER at bench-
+        # class tri counts (448 rows: 300 -> 256 ms/frame at 1080p
+        # depth 5 — FMA op count is ~flat per 224-row block while the
+        # K=4-padded dot MACs grow linearly), and (b) UNBIASED: a
+        # 3-way A/B vs the exact-f32 XLA tracer on the many-light
+        # scene measured the 3-pass bf16-split dots 2.9% LOW (shared-
+        # edge cracks lose whole paths) while FMA matched the f32
+        # reference to 7 digits (BASELINE round 5). The dots path is
+        # kept for A/B only.
+        hit_fma = True
     if tile <= 0:
         tile = min(1024, _round_up(g_in * 128, 128))
     if groups is None:

@@ -333,6 +333,61 @@ def test_gi_trace_depth5_statistical_metal_glass():
 
 
 @pytest.mark.slow
+def test_gi_trace_fma_matches_f32_reference():
+    """The chunked-FMA hit tests (the production default) against the
+    exact-f32 XLA tracer on the bench-class many-light scene at
+    depth 4: distribution equivalence (mean/std), not lane match.
+
+    Historical note (BASELINE r5): this 3-way A/B is how the 3-pass
+    bf16-split dot hit tests were found ~3% LOW on this scene —
+    shared-edge cracks (the dropped al*bl term perturbs u/v near quad
+    diagonals) lose whole paths. FMA matched the f32 reference's mean
+    to 7 digits in the same harness; this test pins that."""
+    from restir_tpu.ops.pallas import gi_kernel as gk
+
+    scene, camkw = procedural.many_light_scene(n_lights=16, n_blocks=8)
+    cam = make_camera(**camkw)
+    w, h = 128, 32
+    r = w * h
+    cfg = RenderConfig(width=w, height=h, tracer=TracerType.RESTIR_GI,
+                       aa_jitter=False, trace_depth=4,
+                       **__import__("restir_tpu.config",
+                                    fromlist=["x"]).mat_flags(scene))
+    pix = jnp.arange(r, dtype=jnp.uint32)
+
+    ref_all, got_all = [], []
+    for f in range(6):
+        looper = jnp.uint32(50 + f)
+        gb, it, mat, d = gbuf.render_gbuffer(scene, cam, cam, cfg, looper)
+        s, _, _, v = restir_gi.trace_gi_sample(
+            scene, it, mat, d, cfg, looper, pix)
+        ref_all.append(np.asarray(s.lo) * np.asarray(v)[:, None])
+        in_pack = restir_gi._build_gi_in_pack(it, mat, d)
+        out = np.asarray(gk.gi_trace_pallas(
+            in_pack, looper, scene.tri_xform, scene.prim_attr,
+            scene.mat_attr, scene.light_prob, scene.light_alias,
+            scene.light_prim_ids, scene.light_radiance,
+            scene.sum_light_power_inv,
+            depth=cfg.trace_depth, single_sided=cfg.single_sided_lights,
+            n_lights=int(scene.light_prob.shape[0]), hit_fma=True,
+            has_met=cfg.scene_has_metallic,
+            has_die=cfg.scene_has_dielectric,
+            has_proc=cfg.scene_has_procedural, interpret=True))
+        got_all.append(
+            out[gk.GO_LO:gk.GO_LO + 3].reshape(3, -1).T[:r])
+    ref = np.concatenate(ref_all)
+    got = np.concatenate(got_all)
+    # clip the firefly tail on BOTH legs (a single specular path can
+    # swing a 24k-lane mean by percents)
+    hi = np.quantile(ref, 0.999)
+    ref_c, got_c = np.minimum(ref, hi), np.minimum(got, hi)
+    assert abs(got_c.mean() - ref_c.mean()) / ref_c.mean() < 0.01, (
+        got_c.mean(), ref_c.mean())
+    assert abs(got_c.std() - ref_c.std()) / ref_c.std() < 0.03, (
+        got_c.std(), ref_c.std())
+
+
+@pytest.mark.slow
 def test_gi_fused_step_statistical(scene_cam, monkeypatch):
     """Full restir_indirect with the kernel trace vs the XLA trace:
     multi-frame image means agree (the reservoir/temporal/shade stage

@@ -1774,7 +1774,7 @@ RP_CH = 8
 
 def _vis_sorted_kernel(vcounts_ref, vids_hbm_ref, rp_ref, xp_hbm_ref,
                        out_ref, vids_ref, ids_sem, xpb_ref, geo_sem,
-                       early_exit=True, unit=64):
+                       early_exit=True, unit=32):
     """Winner visibility (restir.cu:172-176) over WAVEFRONT-SORTED rays
     with 32-tri SUB-BLOCK work lists.
 
@@ -2568,18 +2568,24 @@ def reuse_pallas(
         # bitwise identical (a hit inside an AABB is found whether or
         # not its sibling was the listed reason). The crossing glue
         # also halves ([rays x S/2] FMAs).
-        # empty sub-blocks are degenerate far points (lo = hi = 3e37,
-        # scene_data): their hi must not poison a real sibling's union
-        # (a [lo_real, 3e37] box would cross everything), so flip it to
-        # -3e37 first; a both-empty pair becomes an inverted (never-
-        # crossing) interval
-        is_empty = (sub_lo[:, 0] > 1e37)[:, None]
-        hi_u = jnp.where(is_empty, jnp.float32(-3e37), sub_hi)
-        pair_lo = jnp.minimum(sub_lo[0::2], sub_lo[1::2])
-        pair_hi = jnp.maximum(hi_u[0::2], hi_u[1::2])
+        import os
+
+        vis_unit = int(os.environ.get("VIS_UNIT", "32"))
+        if vis_unit == 64:
+            # empty sub-blocks are degenerate far points (lo = hi =
+            # 3e37, scene_data): their hi must not poison a real
+            # sibling's union (a [lo_real, 3e37] box would cross
+            # everything), so flip it to -3e37 first; a both-empty
+            # pair becomes an inverted (never-crossing) interval
+            is_empty = (sub_lo[:, 0] > 1e37)[:, None]
+            hi_u = jnp.where(is_empty, jnp.float32(-3e37), sub_hi)
+            list_lo = jnp.minimum(sub_lo[0::2], sub_lo[1::2])
+            list_hi = jnp.maximum(hi_u[0::2], hi_u[1::2])
+        else:
+            list_lo, list_hi = sub_lo, sub_hi
         vcounts, vids, v_kp = _sub_block_lists(
             rp[RP_O:RP_O + 3], rp[RP_D:RP_D + 3], rp[RP_LIM],
-            rp[RP_LIM] >= 0.0, _TILE, pair_lo, pair_hi
+            rp[RP_LIM] >= 0.0, _TILE, list_lo, list_hi
         )
         rp = rp.reshape(RP_CH, g, 128)
     # temporal window starts are derived IN-KERNEL per tile from the
@@ -2648,7 +2654,7 @@ def reuse_pallas(
         ],
     )
     occ_s = pl.pallas_call(
-        _vis_sorted_kernel,
+        functools.partial(_vis_sorted_kernel, unit=vis_unit),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(

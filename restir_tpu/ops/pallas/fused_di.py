@@ -906,7 +906,7 @@ def _gbuffer_kernel_sub(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
                         env_ref, atlas_ref, texmeta_ref, out_ref, ids_ref,
                         ids_sem, xpb_ref, attrb_ref, geo_sem,
                         *, m_pad, width, height, aa_jitter,
-                        single_sided, has_env, with_textures):
+                        single_sided, has_env, with_textures, unit=32):
     """Streaming closest hit over per-tile frustum-exact 32-tri
     SUB-BLOCK work lists (the closest-hit twin of _vis_sorted_kernel;
     the reference's per-ray BVH walk, scene.h:245-284). Each iteration
@@ -938,25 +938,26 @@ def _gbuffer_kernel_sub(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
 
     ids_dma.wait()
     count = counts_ref[tile]
-    # flushes of 8 blocks; tail entries beyond `count` are just the
+    # flushes of 256 tri rows; tail entries beyond `count` are just the
     # nearest non-crossing blocks (argsort order) — testing them is
     # harmless for closest hit
-    nflush = (count + 7) // 8
+    per_flush = 256 // unit
+    nflush = (count + per_flush - 1) // per_flush
 
     def fetch(f, slot, wait):
-        for q in range(8):
-            blk = ids_ref[f * 8 + q]
-            row = pl.multiple_of(blk * 32, 32)
+        for q in range(per_flush):
+            blk = ids_ref[f * per_flush + q]
+            row = pl.multiple_of(blk * unit, unit)
             cp = pltpu.make_async_copy(
-                xp_hbm_ref.at[pl.ds(row, 32), :],
-                xpb_ref.at[slot, 32 * q:32 * (q + 1), :],
+                xp_hbm_ref.at[pl.ds(row, unit), :],
+                xpb_ref.at[slot, unit * q:unit * (q + 1), :],
                 geo_sem.at[slot, q],
             )
             cp.wait() if wait else cp.start()
             ca = pltpu.make_async_copy(
-                attr_hbm_ref.at[pl.ds(row, 32), :],
-                attrb_ref.at[slot, 32 * q:32 * (q + 1), :],
-                geo_sem.at[slot, 8 + q],
+                attr_hbm_ref.at[pl.ds(row, unit), :],
+                attrb_ref.at[slot, unit * q:unit * (q + 1), :],
+                geo_sem.at[slot, per_flush + q],
             )
             ca.wait() if wait else ca.start()
 
@@ -1000,12 +1001,14 @@ def _gbuffer_kernel_sub(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         d_best = jnp.min(dist, axis=0)
         u_best = jnp.sum(jnp.where(oh_best, u, 0.0), axis=0)
         v_best = jnp.sum(jnp.where(oh_best, v, 0.0), axis=0)
-        # global prim id: row q*32+r in flush f is tri ids[f*8+q]*32 + r
+        # global prim id: row q*unit+r of flush f is
+        # tri ids[f*per_flush+q]*unit + r
         prim_new = jnp.full((b,), 0, jnp.int32)
-        for q in range(8):
-            blk = ids_ref[f * 8 + q]
-            in_q = (j >= 32 * q) & (j < 32 * (q + 1))
-            prim_new = jnp.where(in_q, j - 32 * q + blk * 32, prim_new)
+        for q in range(per_flush):
+            blk = ids_ref[f * per_flush + q]
+            in_q = (j >= unit * q) & (j < unit * (q + 1))
+            prim_new = jnp.where(
+                in_q, j - unit * q + blk * unit, prim_new)
         attr_best = _dot_t_exact(
             attrb_ref[slot], oh_best.astype(jnp.float32)
         )[:ATTR_COLS]  # [ATTR_COLS, B]
@@ -1019,7 +1022,8 @@ def _gbuffer_kernel_sub(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
         )
         # occlusion early-out: front-to-back list; once every ray's best
         # hit is nearer than the NEXT flush's first block, stop
-        nxt = ids_ref[jnp.minimum(8 * (f + 1), jnp.maximum(count - 1, 0))]
+        nxt = ids_ref[jnp.minimum(per_flush * (f + 1),
+                                  jnp.maximum(count - 1, 0))]
         done = (f + 1 >= nflush) | (jnp.max(carry[0]) < dmin_ref[nxt])
         return (f + 1, done, carry)
 
@@ -1368,10 +1372,11 @@ def gbuffer_pack_pallas(
             [attr.astype(jnp.float32),
              jnp.zeros((n_pad, 128 - ATTR_COLS), jnp.float32)], axis=1)
         g = r // 128
+        unit_g = max(8, n_pad // sub_lo.shape[0])
         kernel = functools.partial(
             _gbuffer_kernel_sub, m_pad=m_pad, width=width, height=height,
             aa_jitter=aa_jitter, single_sided=single_sided,
-            has_env=has_env, with_textures=with_textures,
+            has_env=has_env, with_textures=with_textures, unit=unit_g,
         )
         full = lambda i, j, *_: (0, 0)  # noqa: E731
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1402,7 +1407,7 @@ def gbuffer_pack_pallas(
                 pltpu.SemaphoreType.DMA,
                 pltpu.VMEM((2, 256, 128), jnp.float32),
                 pltpu.VMEM((2, 256, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 16)),
+                pltpu.SemaphoreType.DMA((2, 2 * (256 // unit_g))),
             ],
         )
         out = pl.pallas_call(
@@ -2570,8 +2575,12 @@ def reuse_pallas(
         # also halves ([rays x S/2] FMAs).
         import os
 
-        vis_unit = int(os.environ.get("VIS_UNIT", "32"))
-        if vis_unit == 64:
+        # list/DMA granularity follows the scene's sub-AABBs
+        # (scene_data.SUB_BLOCK); VIS_UNIT=2*SUB_BLOCK pairs adjacent
+        # blocks (measured 10% slower at 64 vs 32 — kept as a knob)
+        unit_d = max(8, n_pad // sub_lo.shape[0])
+        vis_unit = int(os.environ.get("VIS_UNIT", str(unit_d)))
+        if vis_unit == 2 * unit_d:
             # empty sub-blocks are degenerate far points (lo = hi =
             # 3e37, scene_data): their hi must not poison a real
             # sibling's union (a [lo_real, 3e37] box would cross
@@ -2650,7 +2659,7 @@ def reuse_pallas(
             pltpu.SMEM((v_kp,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((2, 256, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA((2, 256 // vis_unit)),
         ],
     )
     occ_s = pl.pallas_call(

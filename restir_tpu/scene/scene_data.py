@@ -171,9 +171,14 @@ BRUTE_FORCE_MAX_PRIMS = 16384
 # triangles per cluster — one MXU brute-force block per cluster (the
 # fused kernels' tri blocks are CLUSTER_SIZE wide)
 CLUSTER_SIZE = 128
-# 32-tri sub-blocks within a cluster: the shadow-vis work-list
-# granularity (scene-side AABBs; 4 per cluster)
-SUB_BLOCK = 32
+# tri sub-blocks within a cluster: the closest-hit/shadow-vis work-
+# list granularity (scene-side AABBs). The streaming kernels derive
+# their DMA/test unit from the scene's sub-AABB count, so this is the
+# single knob (env override for A/B sweeps; 32 measured best vs 64;
+# 16 vs 32 A/B in prof/prof_visunit.py-style harnesses).
+import os as _os
+
+SUB_BLOCK = int(_os.environ.get("SUB_BLOCK", "32"))
 
 
 def _morton_order(centroids: np.ndarray) -> np.ndarray:

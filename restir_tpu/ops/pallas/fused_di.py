@@ -663,8 +663,8 @@ def _gbuffer_kernel_resident(cam_ref, lcam_ref, looper_ref, xy_ref, xpt_ref,
 
 def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
                     looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref, clb_ref,
-                    env_ref, atlas_ref, texmeta_ref, out_ref, ids_ref,
-                    ids_sem, xpb_ref, attrb_ref, geo_sem,
+                    env_ref, atlas_ref, texmeta_ref, rxy_ref, out_ref,
+                    ids_ref, ids_sem, xpb_ref, attrb_ref, geo_sem,
                     *, n_pad, nb, m_pad, width, height, aa_jitter,
                     single_sided, use_pretest, has_env, with_textures):
     # 2-D pixel tiles (8 rows x 128 cols): tight frusta for cluster
@@ -686,9 +686,12 @@ def _gbuffer_kernel(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
     )
     ids_dma.start()
     looper = looper_ref[0]
+    rxy = ((rxy_ref[0, 0, 0, :, :].reshape(b),
+            rxy_ref[1, 0, 0, :, :].reshape(b))
+           if aa_jitter else None)
     ox, oy, oz, dx, dy, dz = _raygen(
         cam_ref, looper, x, y, pix, width=width, height=height,
-        aa_jitter=aa_jitter,
+        aa_jitter=aa_jitter, rxy=rxy,
     )
 
     # --- closest hit over triangle blocks (VPU FMA chains over lane-
@@ -903,8 +906,8 @@ def _dot_t_exact(a, b_exact):
 
 def _gbuffer_kernel_sub(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
                         looper_ref, xp_hbm_ref, attr_hbm_ref, mat_ref,
-                        env_ref, atlas_ref, texmeta_ref, out_ref, ids_ref,
-                        ids_sem, xpb_ref, attrb_ref, geo_sem,
+                        env_ref, atlas_ref, texmeta_ref, rxy_ref, out_ref,
+                        ids_ref, ids_sem, xpb_ref, attrb_ref, geo_sem,
                         *, m_pad, width, height, aa_jitter,
                         single_sided, has_env, with_textures, unit=32):
     """Streaming closest hit over per-tile frustum-exact 32-tri
@@ -929,9 +932,12 @@ def _gbuffer_kernel_sub(counts_ref, dmin_ref, ids_hbm_ref, cam_ref, lcam_ref,
     )
     ids_dma.start()
     looper = looper_ref[0]
+    rxy = ((rxy_ref[0, 0, 0, :, :].reshape(b),
+            rxy_ref[1, 0, 0, :, :].reshape(b))
+           if aa_jitter else None)
     ox, oy, oz, dx, dy, dz = _raygen(
         cam_ref, looper, x, y, pix, width=width, height=height,
-        aa_jitter=aa_jitter,
+        aa_jitter=aa_jitter, rxy=rxy,
     )
     oxr, oyr, ozr = (v.reshape(1, b) for v in (ox, oy, oz))
     dxr, dyr, dzr = (v.reshape(1, b) for v in (dx, dy, dz))
@@ -1352,6 +1358,22 @@ def gbuffer_pack_pallas(
     # per-tile frustum-culled work lists (front-to-back)
     assert xy is None, "sharded row bands need the resident path"
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
+    # camera-jitter RNG precomputed WHOLE-FRAME in XLA (~0.3 ms
+    # vectorized) instead of in-kernel (~8 ms/frame of Mosaic per-op
+    # dispatch on the ~25-op 1-D pcg4d chain); streams bit-identical
+    # (utils/rng == the in-kernel hash, tests/test_pallas_kernels.py).
+    # Layout-shuffled to the 2-D 8x128-pixel tile blocks.
+    if aa_jitter:
+        from ...utils import rng as _rngm
+
+        pixg = jnp.arange(r, dtype=jnp.uint32)
+        rxf, ryf, _, _ = _rngm.uniform4(
+            pixg, looper, 0, _rngm.SALT_CAMERA)
+        rxy5 = jnp.stack([rxf, ryf]).reshape(
+            2, height // 8, 8, width // 128, 128).transpose(0, 1, 3, 2, 4)
+    else:
+        rxy5 = jnp.zeros(
+            (2, height // 8, width // 128, 8, 128), jnp.float32)
     if sub_lo is not None:
         # 32-tri SUB-BLOCK granularity (the closest-hit twin of the
         # shadow-vis sub-block lists): frustum-exact lists vs the 4x
@@ -1397,6 +1419,9 @@ def gbuffer_pack_pallas(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(meta_t.shape, lambda i, j, *_: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 1, 1, 8, 128),
+                             lambda i, j, *_: (0, i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (GB_CH, 1, 1, 8, 128), lambda i, j, *_: (0, i, j, 0, 0),
@@ -1421,7 +1446,8 @@ def gbuffer_pack_pallas(
             ),
             interpret=interpret,
         )(counts, dmin, ids, cam_vec, lcam_vec,
-          _lp2(looper, pix0), xplanes, attr_tm, mat_t, env8, atlas, meta_t)
+          _lp2(looper, pix0), xplanes, attr_tm, mat_t, env8, atlas,
+          meta_t, rxy5)
         return _untile_pack(out, width, height)
 
     counts, ids, dmin = _primary_cluster_lists(
@@ -1467,6 +1493,9 @@ def gbuffer_pack_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(meta_t.shape, lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, 1, 8, 128),
+                         lambda i, j, *_: (0, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (GB_CH, 1, 1, 8, 128), lambda i, j, *_: (0, i, j, 0, 0),
@@ -1491,7 +1520,8 @@ def gbuffer_pack_pallas(
         ),
         interpret=interpret,
     )(counts, dmin, ids, cam_vec, lcam_vec,
-      _lp2(looper, pix0), xplanes, attr_t, mat_t, clb, env8, atlas, meta_t)
+      _lp2(looper, pix0), xplanes, attr_t, mat_t, clb, env8, atlas,
+      meta_t, rxy5)
     return _untile_pack(out, width, height)
 
 
@@ -1527,8 +1557,8 @@ def make_xy_grid(width: int, height: int):
 
 def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
                        lumaux_ref, tri_lo_ref, light_ref, looper_ref,
-                       out_ref, *, l_pad, k, single_sided, n_area,
-                       has_env, has_met=True):
+                       rng_ref, out_ref, *, l_pad, k, single_sided,
+                       n_area, has_env, has_met=True):
     """Lane-batched RIS candidate stage (kernel R1 of the streaming
     pipeline; the resident pipeline runs the same core fused into
     _di_resident_kernel)."""
@@ -1539,11 +1569,13 @@ def _ris_select_kernel(gb_ref, psi_a_ref, psi_b_ref, psi_c_ref,
         jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
     )
     looper = looper_ref[0]
+    # RNG precomputed whole-frame in XLA (see gbuffer_pack_pallas note)
+    rng = tuple(rng_ref[c, :, :, :].reshape(-1, 128) for c in range(4))
     sel = _ris_select_core(
         gb_ref, psi_a_ref, psi_b_ref, psi_c_ref, lumaux_ref, tri_lo_ref,
         light_ref, pix, looper, l_pad=l_pad, k=k,
         single_sided=single_sided, n_area=n_area, has_env=has_env,
-        has_met=has_met,
+        has_met=has_met, rng=rng,
     )
     for i in range(RS_CH):
         out_ref[i, :, :] = sel[i]
@@ -1945,7 +1977,7 @@ def _window_start(gb_ref, prev_ref, window):
 
 
 def _merge_sorted_kernel(gb_ref, rs_ref, occ_ref, prev_ref,
-                         looper_ref, out_ref, win_ref, sem,
+                         looper_ref, rt_ref, out_ref, win_ref, sem,
                          *, k, window, temporal, temporal_clamp):
     """Consumes the unsorted occlusion flags from _vis_sorted_kernel and
     runs the temporal merge in original pixel order (the wavefront
@@ -1983,11 +2015,13 @@ def _merge_sorted_kernel(gb_ref, rs_ref, occ_ref, prev_ref,
         gb_ref, out_ref, prev_ref, w0, win_ref, sem, looper, pix,
         res, window=window, temporal=temporal,
         temporal_clamp=temporal_clamp,
+        r_t=rt_ref[0, :, :].reshape(b) if temporal else None,
     )
 
 
 def _vis_resident_kernel(gb_ref, rs_ref, xpt_ref,
-                         prev_ref, looper_ref, out_ref, win_ref, sem,
+                         prev_ref, looper_ref, rt_ref, out_ref, win_ref,
+                         sem,
                          *, k, nb, n_pad, window, temporal, temporal_clamp):
     """Small-scene winner-visibility kernel: triangle planes are
     VMEM-resident and the any-hit loop is a plain block fori (no work
@@ -2008,6 +2042,7 @@ def _vis_resident_kernel(gb_ref, rs_ref, xpt_ref,
         gb_ref, rs_vals, xpt_ref, prev_ref, looper, pix, out_ref,
         win_ref, sem, k=k, nb=nb, n_pad=n_pad, window=window,
         temporal=temporal, temporal_clamp=temporal_clamp,
+        r_t=rt_ref[0, :, :].reshape(b) if temporal else None,
     )
 
 
@@ -2486,6 +2521,26 @@ def reuse_pallas(
     )
 
     assert nb == 128, "cluster blocks are CLUSTER_SIZE=128 wide"
+    # RIS-candidate + temporal RNG precomputed WHOLE-FRAME in XLA
+    # (~0.3 ms vectorized vs ~8 ms/frame per in-kernel 1-D pcg4d chain
+    # in Mosaic per-op dispatch); streams bit-identical to the
+    # in-kernel hash. Candidate block layout matches
+    # _ris_select_core's wide() sublane blocks.
+    from ...utils import rng as _rngm
+
+    pixg = (jnp.asarray(pix0, jnp.uint32)
+            + jnp.arange(r, dtype=jnp.uint32))
+    us = [_rngm.uniform4(pixg, looper, _CTR_RIS + kk, _rngm.SALT_RESTIR)
+          for kk in range(k)]
+    rngk = jnp.stack(
+        [jnp.stack([us[kk][c] for kk in range(k)]) for c in range(4)]
+    ).reshape(4, k, g, 128)
+    if temporal:
+        rt1 = _rngm.uniform1(
+            pixg, looper, _CTR_TEMPORAL, _rngm.SALT_RESTIR
+        ).reshape(1, g, 128)
+    else:
+        rt1 = jnp.zeros((1, g, 128), jnp.float32)
     n_tri = tri_xform.shape[1] // 3
     n_pad = _round_up(max(n_tri, nb), nb)
     xu, xv, xw = _split_planes(tri_xform, n_pad)
@@ -2528,6 +2583,8 @@ def reuse_pallas(
             pl.BlockSpec((LIGHT_COLS, l_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, k, tg, 128), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (RS_CH, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -2535,7 +2592,7 @@ def reuse_pallas(
         out_shape=jax.ShapeDtypeStruct((RS_CH, g, 128), jnp.float32),
         interpret=interpret,
     )(gb_pack, psi_a, psi_b, psi_c, lum_aux, tri_lo, light_table,
-      _lp2(looper, pix0))
+      _lp2(looper, pix0), rngk)
 
     # ---- XLA: temporal window starts (+ the wavefront ray sort and its
     # cluster work lists on the streaming path)
@@ -2625,6 +2682,8 @@ def reuse_pallas(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tg, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (PT_CH, tg, 128), lambda i: (0, i, 0),
@@ -2639,7 +2698,7 @@ def reuse_pallas(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(gb_pack, rs, xpt_r, prev_pack, _lp2(looper, pix0))
+        )(gb_pack, rs, xpt_r, prev_pack, _lp2(looper, pix0), rt1)
 
     # ---- kernel R2a: wavefront-sorted winner visibility (streams only
     # the 32-tri sub-blocks the tile's coherent rays truly cross)
@@ -2694,6 +2753,8 @@ def reuse_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # prev pack (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tg, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (PT_CH, tg, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -2707,7 +2768,7 @@ def reuse_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(gb_pack, rs, occ, prev_pack, _lp2(looper, pix0))
+    )(gb_pack, rs, occ, prev_pack, _lp2(looper, pix0), rt1)
 
 
 # ---------------------------------------------------------------------------

@@ -6,7 +6,7 @@ tests/test_gi_fused.py::test_gi_trace_fma_matches_f32_reference
 
 PYTHONPATH=/root/repo:/root/.axon_site python prof/prof_gi_fma.py
 """
-port functools, time
+import functools, time
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 from restir_tpu.config import RenderConfig, TracerType, mat_flags

@@ -59,8 +59,11 @@ A_FV = 11  # svgf only: 3x3-prefiltered variance (filterVariance)
 C_SVGF = 12
 
 # conservative per-kernel VMEM budget (bytes): window + double-buffered
-# output block must fit ~16 MB/core with Mosaic overhead
-_VMEM_BUDGET = 14 * 1024 * 1024
+# output block must fit ~16 MB/core with Mosaic overhead (the v5e has
+# more physical VMEM; ATROUS_VMEM_MB env overrides for A/B sweeps)
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("ATROUS_VMEM_MB", "14")) * 1024 * 1024
 _F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
 
